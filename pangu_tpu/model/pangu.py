@@ -1,0 +1,90 @@
+"""The Pangu-Weather backbone (reference models/pangu_model.py:18-104).
+
+U-shaped Earth-Specific Transformer:
+  embed -> layer0 (C, full grid) -> skip -> down -> layer1 -> layer2 (2C,
+  half grid) -> up -> layer3 (C, full grid) -> concat skip -> recovery.
+
+The forward is a pure function of (params, upper, surface, aux); constants
+ride in the input pytree rather than being buried in module state, so a
+single jitted step serves train/eval/rollout and sharding annotations can be
+applied to every input.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pangu_tpu.aux import AuxConstants
+from pangu_tpu.config import ModelConfig
+from pangu_tpu.geometry import compute_geometry
+from pangu_tpu.model.blocks import DownSample, EarthSpecificLayer, UpSample
+from pangu_tpu.model.embeddings import PatchEmbedding, PatchRecovery
+
+
+def drop_path_rates(cfg: ModelConfig) -> Tuple[Tuple[float, ...], ...]:
+    """Linear stochastic-depth ramp over all blocks
+    (reference models/pangu_model.py:29)."""
+    total = sum(cfg.depths)
+    ramp = np.linspace(0.0, cfg.drop_path_max, total)
+    out = []
+    off = 0
+    for d in cfg.depths:
+        out.append(tuple(float(r) for r in ramp[off : off + d]))
+        off += d
+    return tuple(out)
+
+
+class PanguModel(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        upper: jnp.ndarray,  # (B, Vu, L, lat, lon), physical units
+        surface: jnp.ndarray,  # (B, Vs, lat, lon), physical units
+        aux: AuxConstants,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        g = compute_geometry(cfg)
+        cdt = jnp.dtype(cfg.compute_dtype)
+        pdt = jnp.dtype(cfg.param_dtype)
+        dpr = drop_path_rates(cfg)
+        remat = cfg.remat and not deterministic
+
+        def layer(i, stage):
+            return EarthSpecificLayer(
+                stage=stage,
+                depth=cfg.depths[i],
+                dim=cfg.dims[i],
+                heads=cfg.heads[i],
+                drop_path_rates=dpr[i],
+                remat=remat,
+                compute_dtype=cdt,
+                param_dtype=pdt,
+                use_pallas=cfg.use_pallas_attention,
+                name=f"layer{i}",
+            )
+
+        x = PatchEmbedding(cfg, g, compute_dtype=cdt, param_dtype=pdt,
+                           name="patch_embed")(upper, surface, aux)
+
+        x = layer(0, g.outer)(x, deterministic)
+        skip = x
+        x = DownSample(cfg.dims[0], g.h_down_pad, compute_dtype=cdt,
+                       param_dtype=pdt, name="downsample")(x)
+        x = layer(1, g.inner)(x, deterministic)
+        x = layer(2, g.inner)(x, deterministic)
+        x = UpSample(cfg.dims[2], cfg.dims[3], g.h, compute_dtype=cdt,
+                     param_dtype=pdt, name="upsample")(x)
+        x = layer(3, g.outer)(x, deterministic)
+
+        # Channel-concat skip connection (reference models/pangu_model.py:98).
+        x = jnp.concatenate([skip, x], axis=-1)
+
+        return PatchRecovery(cfg, g, compute_dtype=cdt, param_dtype=pdt,
+                             name="patch_recovery")(x)

@@ -1,0 +1,45 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native answer to "multi-node without a cluster" (SURVEY §4):
+XLA's host platform fakes 8 devices in one process, so every sharding /
+collective path is exercised by plain pytest.
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    if not os.path.isdir(REFERENCE_DIR):
+        return False
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo or torch unavailable"
+)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
