@@ -65,6 +65,9 @@ class ModelConfig:
     # Numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for speed on TPU
+    # "highest" keeps fp32 matmuls true-fp32 (XLA otherwise lowers them to
+    # bf16 passes on TPU); moot when compute_dtype is bfloat16.
+    matmul_precision: str = "highest"
     # Rematerialize each transformer block during training
     # (reference models/layers.py:143-149 uses torch.utils.checkpoint).
     remat: bool = True

@@ -1,0 +1,347 @@
+"""ERA5 data pipeline: time-keyed stores + date-range dataset + batch loader.
+
+Re-designs the reference's dataset layer (era5_data/utils_data.py:60-392) for
+a host-side JAX pipeline:
+
+  * A *store* maps a timestamp to the (upper, surface) field pair. Backends:
+    per-hour ``.npy`` pairs (our native store), the reference's per-hour
+    ``.pt`` tensors (PTDataset parity), monthly/daily NetCDF (NetCDFDataset
+    parity, gated on xarray), and a deterministic synthetic generator.
+  * ``Era5Dataset`` pairs input time t with target time t+horizon over a
+    pandas date_range, with the reference's length rule
+    ``len(keys) - horizon // freq_hours - 1`` (era5_data/utils_data.py:106).
+  * ``BatchLoader`` shards the key space across data-parallel processes
+    (role of torch DistributedSampler, finetune/finetune_fully.py:113-116),
+    shuffles per epoch, and prefetches batches on a background thread (role
+    of DataPrefetcher, era5_data/utils_data.py:20-57 — overlap host IO with
+    device compute; on TPU the H2D copy happens inside jit dispatch).
+
+Everything yields numpy; devices/sharding are the step function's concern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import queue
+import threading
+from datetime import datetime, timedelta
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pangu_tpu.config import DataConfig, ModelConfig
+from pangu_tpu.train.step import Batch
+
+Periods = Tuple[str, ...]
+
+_TIME_FMT = "%Y%m%d%H"
+
+
+def time_str(t: datetime) -> str:
+    return t.strftime(_TIME_FMT)
+
+
+# ---------------------------------------------------------------------------
+# Stores
+# ---------------------------------------------------------------------------
+
+class NpyStore:
+    """Per-hour ``{root}/upper/upper_YYYYMMDDHH.npy`` + ``{root}/surface/...``
+    pairs — the framework's native tensor store (role of the reference's
+    converted ``.pt`` store)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
+        s = time_str(t)
+        upper = np.load(os.path.join(self.root, "upper", f"upper_{s}.npy"))
+        surface = np.load(os.path.join(self.root, "surface", f"surface_{s}.npy"))
+        return upper.astype(np.float32), surface.astype(np.float32)
+
+    def save(self, t: datetime, upper: np.ndarray, surface: np.ndarray) -> None:
+        s = time_str(t)
+        os.makedirs(os.path.join(self.root, "upper"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "surface"), exist_ok=True)
+        np.save(os.path.join(self.root, "upper", f"upper_{s}.npy"), upper)
+        np.save(os.path.join(self.root, "surface", f"surface_{s}.npy"), surface)
+
+
+class PtStore:
+    """Reads the reference's per-hour ``.pt`` tensors
+    (reference era5_data/utils_data.py:344-362) so existing converted
+    datasets work unchanged. Requires torch (CPU)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
+        import torch
+
+        s = time_str(t)
+        upper = torch.load(
+            os.path.join(self.root, "upper", f"upper_{s}.pt"),
+            weights_only=False, map_location="cpu",
+        )
+        surface = torch.load(
+            os.path.join(self.root, "surface", f"surface_{s}.pt"),
+            weights_only=False, map_location="cpu",
+        )
+        return (
+            np.asarray(upper, dtype=np.float32),
+            np.asarray(surface, dtype=np.float32),
+        )
+
+
+class NetCDFStore:
+    """Monthly ``surface_YYYYMM.nc`` + daily ``upper_YYYYMMDD.nc`` reader
+    (reference NetCDFDataset, era5_data/utils_data.py:113-229): variables
+    [z,q,t,u,v] with the level axis flipped to data order, [msl,u10,v10,t2m]
+    surface, expver=5 fallback. Gated on xarray."""
+
+    def __init__(self, root: str):
+        import importlib.util
+
+        if importlib.util.find_spec("xarray") is None:
+            raise ImportError("NetCDFStore requires xarray")
+        self.root = root
+
+    def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
+        import xarray as xr
+
+        s = time_str(t)
+        sfc = xr.open_dataset(
+            os.path.join(self.root, "surface", f"surface_{s[:6]}.nc")
+        )
+        sfc = sfc.sel(time=t, expver=5) if "expver" in sfc else sfc.sel(time=t)
+        upp = xr.open_dataset(
+            os.path.join(self.root, "upper", f"upper_{s[:8]}.nc")
+        )
+        upp = upp.sel(time=t, expver=5) if "expver" in upp else upp.sel(time=t)
+
+        upper = np.stack(
+            [upp[v].values.astype(np.float32) for v in ("z", "q", "t", "u", "v")]
+        )
+        upper = upper[:, ::-1].copy()  # level order flip (utils_data.py:132)
+        surface = np.stack(
+            [sfc[v].values.astype(np.float32) for v in ("msl", "u10", "v10", "t2m")]
+        )
+        return upper, surface
+
+
+class SyntheticStore:
+    """Deterministic pseudo-weather keyed by timestamp: smooth fields with a
+    time-dependent phase so consecutive hours correlate (enables meaningful
+    loss-decreases in tests without any data on disk)."""
+
+    def __init__(self, model_cfg: ModelConfig, seed: int = 0):
+        self.cfg = model_cfg
+        self.seed = seed
+        m = model_cfg
+        rng = np.random.default_rng(seed)
+        ky = rng.integers(1, 4, size=(8,))
+        kx = rng.integers(1, 4, size=(8,))
+        self._modes = (ky, kx)
+        lat = np.linspace(0, np.pi, m.lat, dtype=np.float32)[:, None]
+        lon = np.linspace(0, 2 * np.pi, m.lon, endpoint=False, dtype=np.float32)[None, :]
+        self._lat, self._lon = lat, lon
+
+    def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
+        m = self.cfg
+        hours = t.timestamp() / 3600.0
+        phase = 2 * np.pi * (hours % 240.0) / 240.0
+        ky, kx = self._modes
+
+        def field(i: int) -> np.ndarray:
+            return np.sin(ky[i % 8] * self._lat + phase + i) * np.cos(
+                kx[i % 8] * self._lon - 0.5 * phase
+            )
+
+        upper = np.stack(
+            [
+                np.stack([field(v * m.levels + l) * (1 + 0.1 * l)
+                          for l in range(m.levels)])
+                for v in range(m.upper_vars)
+            ]
+        ).astype(np.float32)
+        surface = np.stack([field(100 + v) for v in range(m.surface_vars)]).astype(
+            np.float32
+        )
+        return upper, surface
+
+
+def make_store(cfg: DataConfig, model_cfg: ModelConfig):
+    kind = cfg.store if cfg.root else "synthetic"
+    if kind == "synthetic":
+        return SyntheticStore(model_cfg, cfg.seed)
+    if kind == "npy":
+        return NpyStore(cfg.root)
+    if kind == "pt":
+        return PtStore(cfg.root)
+    if kind == "netcdf":
+        return NetCDFStore(cfg.root)
+    raise ValueError(f"unknown store kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# Dataset + loader
+# ---------------------------------------------------------------------------
+
+def _freq_hours(freq: str) -> int:
+    return int(pd.Timedelta(freq.lower()) / pd.Timedelta("1h"))
+
+
+class Era5Dataset:
+    """(input_t, surface_t, upper_{t+h}, surface_{t+h}, (t_str, t+h_str))
+    samples over a date range (reference era5_data/utils_data.py:60-392)."""
+
+    def __init__(self, store, start: str, end: str, freq: str, horizon: int):
+        self.store = store
+        self.horizon = horizon
+        self.keys: List[datetime] = [
+            k.to_pydatetime() for k in pd.date_range(start=start, end=end, freq=freq)
+        ]
+        # reference length rule (era5_data/utils_data.py:106)
+        self.length = len(self.keys) - horizon // _freq_hours(freq) - 1
+        if self.length < 0:
+            raise ValueError(
+                f"date range {start}..{end} too short for horizon {horizon}h"
+            )
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int):
+        t = self.keys[idx]
+        t_end = t + timedelta(hours=self.horizon)
+        upper, surface = self.store.load(t)
+        tgt_upper, tgt_surface = self.store.load(t_end)
+        return upper, surface, tgt_upper, tgt_surface, (time_str(t), time_str(t_end))
+
+
+class BatchLoader:
+    """Shuffling, process-sharding, prefetching batch iterator.
+
+    Yields (Batch, periods) where periods is a tuple of (start, end) string
+    pairs. ``num_shards``/``shard`` play the DistributedSampler role; with
+    ``accumulation`` > 1 batches gain a leading microbatch axis.
+    """
+
+    def __init__(
+        self,
+        dataset: Era5Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard: int = 0,
+        accumulation: int = 1,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard = shard
+        self.accumulation = accumulation
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard :: self.num_shards]
+
+    def __len__(self) -> int:
+        per = self.batch_size * self.accumulation
+        n = len(self._indices())
+        return n // per if self.drop_last else -(-n // per)
+
+    def _assemble(self, indices: Sequence[int]):
+        samples = [self.ds[int(i)] for i in indices]
+        arrs = [np.stack([s[j] for s in samples]) for j in range(4)]
+        periods = tuple(s[4] for s in samples)
+        if self.accumulation > 1:
+            arrs = [
+                a.reshape((self.accumulation, self.batch_size) + a.shape[1:])
+                for a in arrs
+            ]
+        return Batch(*arrs), periods
+
+    def _batches(self) -> Iterator:
+        idx = self._indices()
+        per = self.batch_size * self.accumulation
+        stop = len(idx) - (len(idx) % per) if self.drop_last else len(idx)
+        for i in range(0, stop, per):
+            yield self._assemble(idx[i : i + per])
+
+    def __iter__(self) -> Iterator:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            self.epoch += 1
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        errbox = []
+
+        def worker():
+            try:
+                for item in self._batches():
+                    q.put(item)
+            except Exception as e:  # surface loader errors on the main thread
+                errbox.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if errbox:
+            raise errbox[0]
+        self.epoch += 1
+
+
+def make_loader(
+    cfg: DataConfig,
+    model_cfg: ModelConfig,
+    split: str,
+    horizon: int,
+    batch_size: int,
+    accumulation: int = 1,
+    num_shards: int = 1,
+    shard: int = 0,
+) -> BatchLoader:
+    store = make_store(cfg, model_cfg)
+    ranges = {
+        "train": (cfg.train_start, cfg.train_end, cfg.train_freq, True),
+        "val": (cfg.val_start, cfg.val_end, cfg.val_freq, False),
+        "test": (cfg.test_start, cfg.test_end, cfg.test_freq, False),
+    }
+    start, end, freq, shuffle = ranges[split]
+    ds = Era5Dataset(store, start, end, freq, horizon)
+    return BatchLoader(
+        ds,
+        batch_size,
+        shuffle=shuffle,
+        seed=cfg.seed,
+        num_shards=num_shards,
+        shard=shard,
+        accumulation=accumulation,
+        prefetch=cfg.prefetch,
+    )

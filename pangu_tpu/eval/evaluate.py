@@ -1,0 +1,170 @@
+"""Evaluation engine (reference test(), models/pangu_sample.py:391-581).
+
+Per test sample: forward -> weighted loss on normalized fields ->
+de-normalize -> latitude-weighted RMSE for z/q/t/u/v (13 levels each),
+upper wind speed, surface (4 vars), surface wind speed -> anomaly ACC
+against the climatological mean for the same families -> CSV score tables.
+
+The whole scoring pipe is one jitted function; the host loop only collects
+numpy results keyed by target time.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.aux import AuxConstants, norm_back_data, norm_data
+from pangu_tpu.config import PanguConfig
+from pangu_tpu.eval.csv_io import save_error_scores
+from pangu_tpu.metrics import (
+    weighted_acc_channels,
+    weighted_rmse_channels,
+    weighted_rmse_channels_masked,
+    wind_speed,
+)
+from pangu_tpu.model import PanguModel
+from pangu_tpu.train.loss import weighted_l1_loss
+from pangu_tpu.train.step import Batch
+
+
+def make_score_step(
+    model: PanguModel, cfg: PanguConfig, return_fields: bool = False
+) -> Callable:
+    """(params, batch, aux) -> dict of scalars/arrays for one sample batch.
+
+    ``return_fields`` additionally returns the de-normalized predicted fields
+    (for visualization) at the cost of the device->host transfer."""
+
+    use_mask = cfg.train.use_custom_mask
+
+    def score(params, batch: Batch, aux: AuxConstants) -> Dict[str, jnp.ndarray]:
+        out_u, out_s = model.apply(params, batch.upper, batch.surface, aux, True)
+        tgt_u_n, tgt_s_n = norm_data(batch.target_upper, batch.target_surface, aux)
+        loss = weighted_l1_loss(
+            out_u, out_s, tgt_u_n, tgt_s_n, aux,
+            only_wind_speed=cfg.train.only_wind_speed_loss,
+            mask=aux.custom_mask if use_mask else None,
+        )
+        # physical units for scoring (reference models/pangu_sample.py:479-480)
+        out_u, out_s = norm_back_data(out_u, out_s, aux)
+        tgt_u, tgt_s = batch.target_upper, batch.target_surface
+
+        # squeeze batch (test batch size is 1, reference era5_data/config.py:74)
+        ou, os_, tu, ts = out_u[0], out_s[0], tgt_u[0], tgt_s[0]
+
+        ws_o = wind_speed(ou[3], ou[4])
+        ws_t = wind_speed(tu[3], tu[4])
+        ws_os = wind_speed(os_[1], os_[2])
+        ws_ts = wind_speed(ts[1], ts[2])
+
+        if use_mask and aux.custom_mask is not None:
+            rmse = partial(weighted_rmse_channels_masked, mask=aux.custom_mask)
+        else:
+            rmse = weighted_rmse_channels
+
+        out: Dict[str, jnp.ndarray] = {"loss": loss}
+        for i, var in enumerate("zqtuv"):
+            out[f"rmse_upper_{var}"] = rmse(ou[i], tu[i])
+        out["rmse_upper_wind_speed"] = rmse(ws_o, ws_t)
+        out["rmse_surface"] = rmse(os_, ts)
+        out["rmse_surface_wind_speed"] = rmse(ws_os[None], ws_ts[None])
+
+        # anomalies vs climatological mean (reference models/pangu_sample.py:550-570)
+        um = aux.upper_mean[0]
+        sm = aux.surface_mean[0]
+        ou_a, tu_a = ou - um, tu - um
+        os_a, ts_a = os_ - sm, ts - sm
+        for i, var in enumerate("zqtuv"):
+            out[f"acc_upper_{var}"] = weighted_acc_channels(ou_a[i], tu_a[i])
+        out["acc_surface"] = weighted_acc_channels(os_a, ts_a)
+        if return_fields:
+            out["output_upper"] = ou
+            out["output_surface"] = os_
+        return out
+
+    return score
+
+
+def evaluate(
+    model: PanguModel,
+    params,
+    loader: Iterable,
+    aux: AuxConstants,
+    cfg: PanguConfig,
+    res_path: str,
+    visualize: bool = False,
+    score_step: Optional[Callable] = None,
+    logger=None,
+) -> float:
+    """Run the full scoring pass; write rmse_*/acc_* CSVs; return mean loss."""
+    step = jax.jit(
+        score_step or make_score_step(model, cfg, return_fields=visualize)
+    )
+
+    families_rmse = [
+        "upper_z", "upper_q", "upper_t", "upper_u", "upper_v",
+        "upper_wind_speed", "surface", "surface_wind_speed",
+    ]
+    families_acc = ["upper_z", "upper_q", "upper_t", "upper_u", "upper_v", "surface"]
+    rmse_scores: Dict[str, Dict[str, np.ndarray]] = {f: {} for f in families_rmse}
+    acc_scores: Dict[str, Dict[str, np.ndarray]] = {f: {} for f in families_acc}
+
+    total_loss, n = 0.0, 0
+    for batch, periods in loader:
+        out = jax.device_get(step(params, batch, aux))
+        target_time = periods[0][1]
+        total_loss += float(out["loss"])
+        n += 1
+        for f in families_rmse:
+            rmse_scores[f][target_time] = out[f"rmse_{f}"]
+        for f in families_acc:
+            acc_scores[f][target_time] = out[f"acc_{f}"]
+
+        if visualize:
+            from pangu_tpu.eval import visualize as viz
+
+            png_path = os.path.join(res_path, "png")
+            names_u = (
+                list("zqtuv") if cfg.model.upper_vars == 5
+                else [str(i) for i in range(cfg.model.upper_vars)]
+            )
+            names_s = (
+                ["msl", "u10", "v10", "t2m"] if cfg.model.surface_vars == 4
+                else [str(i) for i in range(cfg.model.surface_vars)]
+            )
+            viz.plot_upper(
+                out["output_upper"], np.asarray(batch.target_upper[0]),
+                np.asarray(batch.upper[0]), names_u[-1], cfg.model.levels // 2,
+                target_time, png_path, var_names=names_u,
+            )
+            viz.plot_surface(
+                out["output_surface"], np.asarray(batch.target_surface[0]),
+                np.asarray(batch.surface[0]), names_s[1], target_time, png_path,
+                var_names=names_s,
+            )
+
+    csv_path = os.path.join(res_path, "csv")
+    levels = [str(l) for l in range(cfg.model.levels)]
+    svars = [str(v) for v in range(cfg.model.surface_vars)]
+    from pangu_tpu.config import ERA5_SURFACE_VARIABLES, ERA5_UPPER_LEVELS
+
+    if cfg.model.levels == len(ERA5_UPPER_LEVELS):
+        levels = list(ERA5_UPPER_LEVELS)
+    if cfg.model.surface_vars == len(ERA5_SURFACE_VARIABLES):
+        svars = list(ERA5_SURFACE_VARIABLES)
+
+    save_error_scores(csv_path, rmse_scores, "rmse",
+                      upper_levels=levels, surface_vars=svars)
+    save_error_scores(csv_path, acc_scores, "acc",
+                      upper_levels=levels, surface_vars=svars)
+
+    mean_loss = total_loss / max(1, n)
+    if logger:
+        logger.info("test_loss: %.6f", mean_loss)
+    return mean_loss

@@ -105,6 +105,9 @@ class EarthAttention3D(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # fp32 inputs need HIGHEST or XLA lowers matmuls to bf16 passes on TPU
+    # (and on CPU); irrelevant when compute_dtype is bfloat16.
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -117,6 +120,7 @@ class EarthAttention3D(nn.Module):
             3 * self.dim,
             dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
+            precision=self.precision,
             kernel_init=nn.initializers.truncated_normal(stddev=0.02),
             name="qkv",
         )(x)
@@ -138,7 +142,7 @@ class EarthAttention3D(nn.Module):
             # (B, nW, nT, T, h, d) x (B, nW, nT, T, h, d) -> (B, nW, nT, h, T, T)
             attn = jnp.einsum(
                 "bwnqhd,bwnkhd->bwnhqk", q * scale, k,
-                preferred_element_type=jnp.float32,
+                precision=self.precision, preferred_element_type=jnp.float32,
             )
             attn = attn + bias[None, None].astype(jnp.float32)
             if mask is not None:
@@ -146,7 +150,7 @@ class EarthAttention3D(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1).astype(self.compute_dtype)
             out = jnp.einsum(
                 "bwnhqk,bwnkhd->bwnqhd", attn, v,
-                preferred_element_type=jnp.float32,
+                precision=self.precision, preferred_element_type=jnp.float32,
             ).astype(self.compute_dtype)
 
         out = out.reshape(b, n_lon, n_type, t, self.dim)
@@ -154,6 +158,7 @@ class EarthAttention3D(nn.Module):
             self.dim,
             dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
+            precision=self.precision,
             kernel_init=nn.initializers.truncated_normal(stddev=0.02),
             name="proj",
         )(out)

@@ -34,14 +34,17 @@ class Mlp(nn.Module):
     ratio: int = 4
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim * self.ratio, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, kernel_init=_TRUNC, name="fc1")(x)
+                     param_dtype=self.param_dtype, precision=self.precision,
+                     kernel_init=_TRUNC, name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, kernel_init=_TRUNC, name="fc2")(x)
+                     param_dtype=self.param_dtype, precision=self.precision,
+                     kernel_init=_TRUNC, name="fc2")(x)
         return x
 
 
@@ -74,6 +77,7 @@ class EarthSpecificBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -101,6 +105,7 @@ class EarthSpecificBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.use_pallas,
+            precision=self.precision,
             name="attn",
         )(xw, mask)
         x = window_reverse(xw, st.window, st.z, st.h_pad, st.w)
@@ -116,7 +121,8 @@ class EarthSpecificBlock(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
                              param_dtype=self.param_dtype, name="norm2")
         mlp = Mlp(self.dim, compute_dtype=self.compute_dtype,
-                  param_dtype=self.param_dtype, name="mlp")
+                  param_dtype=self.param_dtype, precision=self.precision,
+                  name="mlp")
 
         x = shortcut + drop(norm1(x), deterministic)
         x = x + drop(norm2(mlp(x)), deterministic)
@@ -137,6 +143,7 @@ class EarthSpecificLayer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -153,6 +160,7 @@ class EarthSpecificLayer(nn.Module):
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 use_pallas=self.use_pallas,
+                precision=self.precision,
                 name=f"block{i}",
             )(x, deterministic)
         return x
@@ -167,6 +175,7 @@ class DownSample(nn.Module):
     h_pad: int  # trailing lat pad to make H even (181 -> 182)
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -179,8 +188,8 @@ class DownSample(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, kernel_init=_TRUNC,
-                     name="reduction")(x)
+                     param_dtype=self.param_dtype, precision=self.precision,
+                     kernel_init=_TRUNC, name="reduction")(x)
         return x
 
 
@@ -193,13 +202,14 @@ class UpSample(nn.Module):
     h_out: int  # crop target (182 -> 181)
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, z, h2, w2, _ = x.shape
         x = nn.Dense(4 * self.out_dim, use_bias=False, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, kernel_init=_TRUNC,
-                     name="expand")(x)
+                     param_dtype=self.param_dtype, precision=self.precision,
+                     kernel_init=_TRUNC, name="expand")(x)
         x = x.reshape(b, z, h2, w2, 2, 2, self.out_dim)  # (..., dy, dx, C)
         x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, Z, H2, dy, W2, dx, C)
         x = x.reshape(b, z, 2 * h2, 2 * w2, self.out_dim)
@@ -207,6 +217,6 @@ class UpSample(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, kernel_init=_TRUNC,
-                     name="mix")(x)
+                     param_dtype=self.param_dtype, precision=self.precision,
+                     kernel_init=_TRUNC, name="mix")(x)
         return x

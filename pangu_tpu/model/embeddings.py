@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -41,6 +42,7 @@ class PatchEmbedding(nn.Module):
     geom: Geometry
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(
@@ -62,7 +64,7 @@ class PatchEmbedding(nn.Module):
         surface = surface.reshape(b, cs, g.h, ph, g.w, pw)
         surface = surface.transpose(0, 2, 4, 1, 3, 5).reshape(b, g.h, g.w, cs * ph * pw)
         surface_tok = nn.Dense(
-            cfg.dims[0], dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            cfg.dims[0], dtype=self.compute_dtype, param_dtype=self.param_dtype, precision=self.precision,
             kernel_init=_TRUNC, name="proj_surface",
         )(surface.astype(self.compute_dtype))
 
@@ -81,7 +83,7 @@ class PatchEmbedding(nn.Module):
         upper = upper.transpose(0, 2, 4, 6, 1, 3, 5, 7)
         upper = upper.reshape(b, g.z_upper, g.h, g.w, cu * pz * ph * pw)
         upper_tok = nn.Dense(
-            cfg.dims[0], dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            cfg.dims[0], dtype=self.compute_dtype, param_dtype=self.param_dtype, precision=self.precision,
             kernel_init=_TRUNC, name="proj_upper",
         )(upper.astype(self.compute_dtype))
 
@@ -102,6 +104,7 @@ class PatchRecovery(nn.Module):
     geom: Geometry
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -113,7 +116,8 @@ class PatchRecovery(nn.Module):
         # ---- upper: planes z >= 1 ----
         up = nn.Dense(
             cfg.recovery_upper_channels, dtype=self.compute_dtype,
-            param_dtype=self.param_dtype, kernel_init=_TRUNC, name="head_upper",
+            param_dtype=self.param_dtype, precision=self.precision,
+            kernel_init=_TRUNC, name="head_upper",
         )(x[:, 1:])
         up = up.reshape(b, g.z_upper, g.h, g.w, vu, pz, ph, pw)
         # -> (B, var, Zu, dz, H, dy, W, dx)
@@ -124,7 +128,8 @@ class PatchRecovery(nn.Module):
         # ---- surface: plane z == 0 ----
         sf = nn.Dense(
             cfg.recovery_surface_channels, dtype=self.compute_dtype,
-            param_dtype=self.param_dtype, kernel_init=_TRUNC, name="head_surface",
+            param_dtype=self.param_dtype, precision=self.precision,
+            kernel_init=_TRUNC, name="head_surface",
         )(x[:, 0])
         sf = sf.reshape(b, g.h, g.w, vs, ph, pw)
         sf = sf.transpose(0, 3, 1, 4, 2, 5)  # (B, var, H, dy, W, dx)

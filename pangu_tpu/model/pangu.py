@@ -14,15 +14,25 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+from jax.sharding import PartitionSpec as P
 
 from pangu_tpu.aux import AuxConstants
 from pangu_tpu.config import ModelConfig
 from pangu_tpu.geometry import compute_geometry
 from pangu_tpu.model.blocks import DownSample, EarthSpecificLayer, UpSample
 from pangu_tpu.model.embeddings import PatchEmbedding, PatchRecovery
+from pangu_tpu.parallel.mesh import maybe_shard
+
+#: token-grid sharding: batch on 'data', lat/lon of the (B, Z, H, W, C) grid
+#: on the spatial mesh axes (sequence parallelism — SURVEY §5.7). Applied at
+#: stage boundaries; GSPMD propagates through blocks and inserts the halo
+#: exchanges that rolls/windows need.
+_TOKEN_SPEC = P("data", None, "lat", "lon", None)
 
 
 def drop_path_rates(cfg: ModelConfig) -> Tuple[Tuple[float, ...], ...]:
@@ -53,6 +63,9 @@ class PanguModel(nn.Module):
         g = compute_geometry(cfg)
         cdt = jnp.dtype(cfg.compute_dtype)
         pdt = jnp.dtype(cfg.param_dtype)
+        prec = {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[cfg.matmul_precision]
         dpr = drop_path_rates(cfg)
         remat = cfg.remat and not deterministic
 
@@ -67,24 +80,31 @@ class PanguModel(nn.Module):
                 compute_dtype=cdt,
                 param_dtype=pdt,
                 use_pallas=cfg.use_pallas_attention,
+                precision=prec,
                 name=f"layer{i}",
             )
 
+        upper = maybe_shard(upper, P("data", None, None, "lat", "lon"))
+        surface = maybe_shard(surface, P("data", None, "lat", "lon"))
+
         x = PatchEmbedding(cfg, g, compute_dtype=cdt, param_dtype=pdt,
-                           name="patch_embed")(upper, surface, aux)
+                           precision=prec, name="patch_embed")(upper, surface, aux)
+        x = maybe_shard(x, _TOKEN_SPEC)
 
         x = layer(0, g.outer)(x, deterministic)
         skip = x
         x = DownSample(cfg.dims[0], g.h_down_pad, compute_dtype=cdt,
-                       param_dtype=pdt, name="downsample")(x)
+                       param_dtype=pdt, precision=prec, name="downsample")(x)
+        x = maybe_shard(x, _TOKEN_SPEC)
         x = layer(1, g.inner)(x, deterministic)
         x = layer(2, g.inner)(x, deterministic)
         x = UpSample(cfg.dims[2], cfg.dims[3], g.h, compute_dtype=cdt,
-                     param_dtype=pdt, name="upsample")(x)
+                     param_dtype=pdt, precision=prec, name="upsample")(x)
+        x = maybe_shard(x, _TOKEN_SPEC)
         x = layer(3, g.outer)(x, deterministic)
 
         # Channel-concat skip connection (reference models/pangu_model.py:98).
         x = jnp.concatenate([skip, x], axis=-1)
 
         return PatchRecovery(cfg, g, compute_dtype=cdt, param_dtype=pdt,
-                             name="patch_recovery")(x)
+                             precision=prec, name="patch_recovery")(x)

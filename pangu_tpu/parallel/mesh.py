@@ -1,0 +1,126 @@
+"""Device mesh + multi-host runtime (the reference's NCCL/torchrun/Slurm
+layer, era5_data/utils_dist.py:15-207, re-imagined for XLA SPMD).
+
+One mesh with axes ('data', 'lat', 'lon'):
+  * 'data'  — batch sharding (DP; the DDP role) and ZeRO-style optimizer
+    state sharding (the DeepSpeed stage-2 role, ds_config.json).
+  * 'lat'/'lon' — spatial sharding of the (B, Z, H, W, C) token grid: the
+    framework's sequence/context parallelism (SURVEY §5.7). XLA inserts the
+    halo exchanges for rolls/windows over ICI automatically.
+
+There are no hand-rolled collectives to port: `reduce_sum`/`gather_grad`/
+`all_gather` (era5_data/utils_dist.py:115-197) are what GSPMD emits from
+sharding annotations; `master_only` becomes `is_main()`.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pangu_tpu.config import ParallelConfig
+
+AXES = ("data", "lat", "lon")
+
+_local = threading.local()
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init. On TPU pods, args come from the environment
+    automatically (`jax.distributed.initialize()` with no args) — the
+    equivalent of the reference's torchrun/Slurm env plumbing
+    (era5_data/utils_dist.py:26-62). No-op when single-process."""
+    if num_processes in (None, 1) and coordinator_address is None:
+        env_procs = os.environ.get("JAX_NUM_PROCESSES")
+        if env_procs is None or int(env_procs) <= 1:
+            return
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def is_main() -> bool:
+    """rank-0 gate (role of `master_only`, era5_data/utils_dist.py:199-207)."""
+    return jax.process_index() == 0
+
+
+def make_mesh(
+    cfg: ParallelConfig, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = cfg.data * cfg.lat * cfg.lon
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {cfg.data}x{cfg.lat}x{cfg.lon} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.asarray(devices[:n]).reshape(cfg.data, cfg.lat, cfg.lon)
+    return Mesh(grid, AXES)
+
+
+def infer_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """All devices on the data axis — the safe default (pure DP)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return make_mesh(ParallelConfig(data=len(devices)), devices)
+
+
+# ---------------------------------------------------------------------------
+# Active-mesh context: lets model code annotate shardings without plumbing
+# the mesh through every module.
+# ---------------------------------------------------------------------------
+
+@contextlib.contextmanager
+def activate_mesh(mesh: Optional[Mesh]):
+    prev = getattr(_local, "mesh", None)
+    _local.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _local.mesh = prev
+
+
+def active_mesh() -> Optional[Mesh]:
+    return getattr(_local, "mesh", None)
+
+
+def valid_spec(mesh: Mesh, spec: P, shape) -> P:
+    """Drop spec entries whose mesh axes are absent or do not evenly divide
+    the dimension (e.g. the odd 721/181-point latitude over a 2-way axis):
+    sharding constraints require divisibility, and an unconstrained dim lets
+    GSPMD choose."""
+    out = []
+    for i, s in enumerate(spec):
+        if s is None or i >= len(shape):
+            out.append(None)
+            continue
+        names = (s,) if isinstance(s, str) else tuple(s)
+        size = 1
+        ok = True
+        for n in names:
+            if n not in mesh.axis_names:
+                ok = False
+                break
+            size *= mesh.shape[n]
+        if ok and size > 1 and shape[i] % size == 0:
+            out.append(s)
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def maybe_shard(x: jax.Array, spec: P) -> jax.Array:
+    """Apply a sharding constraint iff a mesh is active (no-op otherwise,
+    so single-chip code paths stay annotation-free)."""
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    spec = valid_spec(mesh, spec, x.shape)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

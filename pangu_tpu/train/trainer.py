@@ -1,0 +1,149 @@
+"""Training engine (reference train(), models/pangu_sample.py:96-388).
+
+Epoch loop with: jitted accumulate-and-update step, per-epoch MultiStep LR
+(inside the optax schedule), periodic checkpointing, rank-0 validation with
+scalar logging, best-model tracking and early stopping.
+
+The loader contract is any iterable of (Batch, periods) with __len__ —
+satisfied by pangu_tpu.data loaders and by plain lists in tests.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.aux import AuxConstants
+from pangu_tpu.config import PanguConfig
+from pangu_tpu.model import PanguModel
+from pangu_tpu.train import checkpoint as ckpt
+from pangu_tpu.train.step import (
+    Batch,
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from pangu_tpu.utils.logger import get_logger
+
+
+def init_train_state(
+    model: PanguModel,
+    cfg: PanguConfig,
+    aux: AuxConstants,
+    optimizer,
+    rng: Optional[jax.Array] = None,
+    params: Optional[Any] = None,
+) -> TrainState:
+    if params is None:
+        m = cfg.model
+        upper = jnp.zeros((1, m.upper_vars, m.levels, m.lat, m.lon), jnp.float32)
+        surface = jnp.zeros((1, m.surface_vars, m.lat, m.lon), jnp.float32)
+        params = model.init(rng or jax.random.PRNGKey(cfg.train.seed),
+                            upper, surface, aux)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: PanguConfig,
+        model: PanguModel,
+        aux: AuxConstants,
+        out_dir: str,
+        writer: Optional[Any] = None,
+        logger=None,
+        steps_per_epoch: int = 1,
+        jit: bool = True,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.aux = aux
+        self.out_dir = out_dir
+        self.writer = writer
+        self.logger = logger or get_logger("pangu_tpu.train")
+        self.optimizer = make_optimizer(cfg, steps_per_epoch)
+        train_step = make_train_step(model, cfg, self.optimizer)
+        eval_step = make_eval_step(model, cfg)
+        self.train_step = jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
+        self.eval_step = jax.jit(eval_step) if jit else eval_step
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        start_epoch: int = 1,
+        state: Optional[TrainState] = None,
+    ) -> Tuple[Any, TrainState]:
+        """Returns (best_params, final_state)."""
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        if state is None:
+            state = init_train_state(self.model, cfg, self.aux, self.optimizer)
+
+        is_main = jax.process_index() == 0
+        best_loss = float("inf")
+        best_params = state.params
+        stale_epochs = 0
+
+        for epoch in range(start_epoch, cfg.train.epochs + 1):
+            t0 = time.time()
+            epoch_loss, n_batches = 0.0, 0
+            for batch, _periods in train_loader:
+                rng, step_rng = jax.random.split(rng)
+                state, loss = self.train_step(state, batch, self.aux, step_rng)
+                epoch_loss += float(loss)
+                n_batches += 1
+            epoch_loss /= max(1, n_batches)
+            self.logger.info(
+                "Epoch %d: loss=%.6f, time=%.3f", epoch, epoch_loss, time.time() - t0
+            )
+
+            if is_main and epoch % cfg.train.save_interval == 0:
+                ckpt.save_train_state(f"{self.out_dir}/models", epoch, state)
+
+            if val_loader is not None and epoch % cfg.train.val_interval == 0:
+                val_loss, n_val = 0.0, 0
+                for batch, _periods in val_loader:
+                    val_loss += float(self.eval_step(state.params, batch, self.aux))
+                    n_val += 1
+                val_loss /= max(1, n_val)
+                self.logger.info("Validate at Epoch %d : %.6f", epoch, val_loss)
+                if self.writer is not None:
+                    self.writer.add_scalars(
+                        "Loss", {"train": epoch_loss, "val": val_loss}, epoch
+                    )
+                if val_loss < best_loss:
+                    best_loss = val_loss
+                    best_params = state.params
+                    if is_main:
+                        ckpt.save_params(f"{self.out_dir}/models", state.params, "best")
+                    self.logger.info("current best model is saved at %d epoch.", epoch)
+                    stale_epochs = 0
+                else:
+                    stale_epochs += 1
+                    if stale_epochs >= cfg.train.early_stop:
+                        self.logger.info(
+                            "No improvement in validation loss for %d epochs, "
+                            "terminating training.", stale_epochs,
+                        )
+                        break
+
+        return best_params, state
+
+    # ------------------------------------------------------------------
+    def resume(self, epoch: Optional[int] = None) -> Tuple[TrainState, int]:
+        """Restore a train_{epoch} checkpoint (latest if epoch is None)."""
+        d = f"{self.out_dir}/models"
+        epoch = epoch if epoch is not None else ckpt.latest_epoch(d)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {d}")
+        template = init_train_state(self.model, self.cfg, self.aux, self.optimizer)
+        state, saved_epoch = ckpt.restore_train_state(d, epoch, template)
+        return state, saved_epoch + 1

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from pangu_tpu.config import DataConfig, pangu_tiny
+from pangu_tpu.data import BatchLoader, Era5Dataset, NpyStore, SyntheticStore, make_loader
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return pangu_tiny().model
+
+
+def _data_cfg(**kw):
+    base = dict(
+        train_start="20180101", train_end="20180201", train_freq="24h",
+        val_start="20180201", val_end="20180210", val_freq="24h",
+        test_start="20180210", test_end="20180220", test_freq="24h",
+        prefetch=0,
+    )
+    base.update(kw)
+    return DataConfig(**base)
+
+
+def test_length_rule(tiny_model):
+    """len = len(keys) - horizon // freq_hours - 1 (reference
+    era5_data/utils_data.py:106)."""
+    store = SyntheticStore(tiny_model)
+    ds = Era5Dataset(store, "20180101", "20180201", "24h", horizon=24)
+    assert len(ds.keys) == 32
+    assert len(ds) == 32 - 24 // 24 - 1
+
+    ds6 = Era5Dataset(store, "20180101", "20180102", "6h", horizon=24)
+    assert len(ds6.keys) == 5
+    assert len(ds6) == 5 - 24 // 6 - 1
+
+
+def test_sample_shapes_and_horizon(tiny_model):
+    m = tiny_model
+    ds = Era5Dataset(SyntheticStore(m), "20180101", "20180201", "24h", 24)
+    u, s, tu, ts, periods = ds[0]
+    assert u.shape == (m.upper_vars, m.levels, m.lat, m.lon)
+    assert s.shape == (m.surface_vars, m.lat, m.lon)
+    assert periods == ("2018010100", "2018010200")
+    # target equals store at t+24h
+    u2, s2 = ds.store.load(ds.keys[1])
+    np.testing.assert_array_equal(tu, u2)
+
+
+def test_synthetic_deterministic(tiny_model):
+    s1 = SyntheticStore(tiny_model, seed=3)
+    s2 = SyntheticStore(tiny_model, seed=3)
+    from datetime import datetime
+
+    t = datetime(2020, 5, 1, 12)
+    np.testing.assert_array_equal(s1.load(t)[0], s2.load(t)[0])
+
+
+def test_npy_store_roundtrip(tiny_model, tmp_path):
+    from datetime import datetime
+
+    store = NpyStore(str(tmp_path))
+    t = datetime(2018, 1, 1, 0)
+    u = np.random.default_rng(0).standard_normal((2, 3, 4, 5)).astype(np.float32)
+    s = np.random.default_rng(1).standard_normal((2, 4, 5)).astype(np.float32)
+    store.save(t, u, s)
+    u2, s2 = store.load(t)
+    np.testing.assert_array_equal(u, u2)
+    np.testing.assert_array_equal(s, s2)
+
+
+def test_loader_sharding(tiny_model):
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180301", "24h", 24)
+    all_periods = []
+    for shard in range(2):
+        loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=5,
+                             num_shards=2, shard=shard, prefetch=0)
+        for batch, periods in loader:
+            assert batch.upper.shape[0] == 2
+            all_periods.extend(p[0] for p in periods)
+    # shards are disjoint
+    assert len(all_periods) == len(set(all_periods))
+
+
+def test_loader_prefetch_matches_sync(tiny_model):
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180120", "24h", 24)
+    sync = BatchLoader(ds, 2, shuffle=True, seed=1, prefetch=0)
+    pre = BatchLoader(ds, 2, shuffle=True, seed=1, prefetch=2)
+    got_s = [(b.upper.sum(), p) for b, p in sync]
+    got_p = [(b.upper.sum(), p) for b, p in pre]
+    assert [p for _, p in got_s] == [p for _, p in got_p]
+    np.testing.assert_allclose([x for x, _ in got_s], [x for x, _ in got_p])
+
+
+def test_loader_accumulation_axis(tiny_model):
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180301", "24h", 24)
+    loader = BatchLoader(ds, batch_size=2, accumulation=3, prefetch=0)
+    batch, periods = next(iter(loader))
+    assert batch.upper.shape[:2] == (3, 2)
+    assert len(periods) == 6
+
+
+def test_make_loader_synthetic(tiny_model):
+    cfg = _data_cfg()
+    loader = make_loader(cfg, tiny_model, "train", horizon=24, batch_size=1)
+    n = 0
+    for batch, _ in loader:
+        n += 1
+    assert n == len(loader) > 0

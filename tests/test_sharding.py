@@ -1,0 +1,140 @@
+"""Multi-device SPMD paths on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from pangu_tpu.aux import synthetic_aux_constants
+from pangu_tpu.config import ParallelConfig, pangu_tiny
+from pangu_tpu.model import PanguModel
+from pangu_tpu.parallel import (
+    activate_mesh,
+    make_mesh,
+    shard_batch,
+    shard_params,
+    zero_shard_opt_state,
+)
+from pangu_tpu.parallel.sharding import _zero_spec
+from pangu_tpu.train.step import Batch, make_optimizer, make_train_step
+from pangu_tpu.train.trainer import TrainState, init_train_state
+
+
+def _need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def _tiny_batch(cfg, batch_size):
+    m = cfg.model
+    rng = np.random.default_rng(0)
+    return Batch(
+        upper=rng.standard_normal(
+            (batch_size, m.upper_vars, m.levels, m.lat, m.lon)
+        ).astype(np.float32),
+        surface=rng.standard_normal(
+            (batch_size, m.surface_vars, m.lat, m.lon)
+        ).astype(np.float32),
+        target_upper=rng.standard_normal(
+            (batch_size, m.upper_vars, m.levels, m.lat, m.lon)
+        ).astype(np.float32),
+        target_surface=rng.standard_normal(
+            (batch_size, m.surface_vars, m.lat, m.lon)
+        ).astype(np.float32),
+    )
+
+
+def test_zero_spec_rule():
+    assert _zero_spec((192, 576), 8) == P(None, "data")
+    assert _zero_spec((7,), 8) == P()  # nothing divisible -> replicated
+    assert _zero_spec((8,), 8) == P("data")
+    assert _zero_spec((), 8) == P()
+    assert _zero_spec((16, 32), 1) == P()
+
+
+def test_mesh_shapes():
+    _need_devices(8)
+    mesh = make_mesh(ParallelConfig(data=2, lat=2, lon=2))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 2, "lat": 2, "lon": 2,
+    }
+    with pytest.raises(ValueError):
+        make_mesh(ParallelConfig(data=16))
+
+
+@pytest.mark.parametrize("pcfg,batch", [
+    (ParallelConfig(data=8), 8),           # pure DP (DDP role)
+    (ParallelConfig(data=2, lat=2, lon=2), 2),  # DP + spatial SP
+    (ParallelConfig(data=1, lat=2, lon=4), 1),  # pure spatial
+])
+def test_sharded_train_step(pcfg, batch):
+    _need_devices(pcfg.data * pcfg.lat * pcfg.lon)
+    cfg = pangu_tiny()
+    mesh = make_mesh(pcfg)
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    opt = make_optimizer(cfg)
+
+    with activate_mesh(mesh):
+        state = init_train_state(model, cfg, aux, opt)
+        state = TrainState(
+            shard_params(state.params, mesh),
+            zero_shard_opt_state(state.opt_state, mesh),
+            state.step,
+        )
+        b = shard_batch(_tiny_batch(cfg, batch), mesh)
+        step = jax.jit(make_train_step(model, cfg, opt))
+        state, loss = step(state, b, aux, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        # opt state moments really are sharded over 'data' when possible
+        if pcfg.data > 1:
+            adam = state.opt_state[1]  # (add_decayed, scale_by_adam, lr)
+            leaves = [l for l in jax.tree.leaves(adam.mu) if hasattr(l, "sharding")]
+            assert any(
+                "data" in (l.sharding.spec or ()) for l in leaves
+            ), "no ZeRO-sharded moment found"
+
+
+def test_sharded_matches_single_device():
+    """DP over 8 devices must reproduce the single-device step numerically."""
+    _need_devices(8)
+    cfg = pangu_tiny()
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    opt = make_optimizer(cfg)
+    batch = _tiny_batch(cfg, 8)
+    rng = jax.random.PRNGKey(0)
+
+    state1 = init_train_state(model, cfg, aux, opt)
+    _, loss_single = make_train_step(model, cfg, opt)(state1, batch, aux, rng)
+
+    mesh = make_mesh(ParallelConfig(data=8))
+    with activate_mesh(mesh):
+        state = init_train_state(model, cfg, aux, opt)
+        state = TrainState(
+            shard_params(state.params, mesh),
+            zero_shard_opt_state(state.opt_state, mesh),
+            state.step,
+        )
+        b = shard_batch(batch, mesh)
+        _, loss_dp = jax.jit(make_train_step(model, cfg, opt))(
+            state, b, aux, rng
+        )
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    _need_devices(8)
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_signature():
+    import __graft_entry__ as ge
+
+    assert callable(ge.entry)
+    assert callable(ge.dryrun_multichip)

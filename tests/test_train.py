@@ -1,0 +1,132 @@
+"""Training engine tests on the tiny geometry."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pangu_tpu.aux import synthetic_aux_constants
+from pangu_tpu.config import DataConfig, pangu_tiny
+from pangu_tpu.data import make_loader
+from pangu_tpu.model import PanguModel
+from pangu_tpu.train.loss import weighted_l1_loss
+from pangu_tpu.train.schedule import multistep_lr
+from pangu_tpu.train.step import (
+    Batch,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from pangu_tpu.train.trainer import Trainer, init_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import dataclasses
+
+    cfg = pangu_tiny()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, epochs=2, batch_size=1, lr=1e-3),
+        data=DataConfig(
+            train_start="20180101", train_end="20180105", train_freq="24h",
+            val_start="20180105", val_end="20180108", val_freq="24h",
+            test_start="20180108", test_end="20180112", test_freq="24h",
+            prefetch=0,
+        ),
+    )
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    return cfg, model, aux
+
+
+def test_loss_variants(setup, rng):
+    cfg, model, aux = setup
+    m = cfg.model
+    ou = rng.standard_normal((1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    os_ = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    tu, ts = np.zeros_like(ou), np.zeros_like(os_)
+
+    std = float(weighted_l1_loss(ou, os_, tu, ts, aux))
+    # cross-check against direct numpy
+    exp = (np.mean(np.abs(ou) * aux.upper_weights) * aux.upper_loss_weight
+           + np.mean(np.abs(os_) * aux.surface_weights) * aux.surface_loss_weight)
+    np.testing.assert_allclose(std, exp, rtol=1e-5)
+
+    ws = float(weighted_l1_loss(ou, os_, tu, ts, aux, only_wind_speed=True))
+    assert ws > 0
+
+    mask = (rng.uniform(size=(m.lat, m.lon)) > 0.5).astype(np.float32)
+    masked = float(weighted_l1_loss(ou, os_, tu, ts, aux, mask=mask))
+    assert masked > 0 and masked != std
+
+
+def test_multistep_schedule():
+    sched = multistep_lr(1e-3, (25, 50), 0.5, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(249)) == pytest.approx(1e-3)
+    assert float(sched(250)) == pytest.approx(5e-4)
+    assert float(sched(500)) == pytest.approx(2.5e-4)
+
+
+def test_train_step_reduces_loss(setup):
+    cfg, model, aux = setup
+    opt = make_optimizer(cfg)
+    state = init_train_state(model, cfg, aux, opt)
+    step = jax.jit(make_train_step(model, cfg, opt))
+
+    loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, batch_size=1)
+    batch, _ = next(iter(loader))
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(8):
+        rng, r = jax.random.split(rng)
+        state, loss = step(state, batch, aux, r)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_accumulation_matches_large_batch(setup):
+    """grad(mean of micro losses) == mean of micro grads: one accumulated
+    step over (2, 1, ...) must equal one step over batch 2."""
+    import dataclasses
+
+    cfg, model, aux = setup
+    loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, batch_size=2)
+    big, _ = next(iter(loader))
+
+    opt = make_optimizer(cfg)
+    state0 = init_train_state(model, cfg, aux, opt)
+
+    cfg_acc = cfg.replace(train=dataclasses.replace(cfg.train, accumulation_steps=2))
+    micro = Batch(*(a.reshape((2, 1) + a.shape[1:]) for a in big))
+
+    rng = jax.random.PRNGKey(3)
+    s_big, loss_big = make_train_step(model, cfg, opt)(state0, big, aux, rng)
+    s_acc, loss_acc = make_train_step(model, cfg_acc, opt)(state0, micro, aux, rng)
+
+    # batch-2 loss is the mean over samples; accumulated loss is the mean of
+    # two single-sample losses -> identical
+    np.testing.assert_allclose(float(loss_big), float(loss_acc), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_big.params), jax.tree.leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainer_fit_and_early_stop(setup, tmp_path):
+    cfg, model, aux = setup
+    train_loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1)
+    val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1)
+    trainer = Trainer(cfg, model, aux, str(tmp_path), steps_per_epoch=len(train_loader))
+    best, state = trainer.fit(train_loader, val_loader)
+    assert int(state.step) == cfg.train.epochs * len(train_loader)
+    # checkpoints exist and resume works
+    import os
+
+    assert os.path.isdir(os.path.join(tmp_path, "models", "train_2"))
+    restored, next_epoch = trainer.resume()
+    assert next_epoch == 3
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
