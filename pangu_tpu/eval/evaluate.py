@@ -33,31 +33,15 @@ from pangu_tpu.train.loss import weighted_l1_loss
 from pangu_tpu.train.step import Batch
 
 
-def make_score_step(
-    model: PanguModel, cfg: PanguConfig, return_fields: bool = False
-) -> Callable:
-    """(params, batch, aux) -> dict of scalars/arrays for one sample batch.
+def make_field_scorer(cfg: PanguConfig) -> Callable:
+    """(out_upper, out_surface, tgt_upper, tgt_surface, aux) -> score dict.
 
-    ``return_fields`` additionally returns the de-normalized predicted fields
-    (for visualization) at the cost of the device->host transfer."""
+    Physical-unit single-sample (no batch dim) scoring shared by evaluate()
+    and the rollout engines (reference models/pangu_sample.py:531-570)."""
 
     use_mask = cfg.train.use_custom_mask
 
-    def score(params, batch: Batch, aux: AuxConstants) -> Dict[str, jnp.ndarray]:
-        out_u, out_s = model.apply(params, batch.upper, batch.surface, aux, True)
-        tgt_u_n, tgt_s_n = norm_data(batch.target_upper, batch.target_surface, aux)
-        loss = weighted_l1_loss(
-            out_u, out_s, tgt_u_n, tgt_s_n, aux,
-            only_wind_speed=cfg.train.only_wind_speed_loss,
-            mask=aux.custom_mask if use_mask else None,
-        )
-        # physical units for scoring (reference models/pangu_sample.py:479-480)
-        out_u, out_s = norm_back_data(out_u, out_s, aux)
-        tgt_u, tgt_s = batch.target_upper, batch.target_surface
-
-        # squeeze batch (test batch size is 1, reference era5_data/config.py:74)
-        ou, os_, tu, ts = out_u[0], out_s[0], tgt_u[0], tgt_s[0]
-
+    def score_fields(ou, os_, tu, ts, aux: AuxConstants) -> Dict[str, jnp.ndarray]:
         ws_o = wind_speed(ou[3], ou[4])
         ws_t = wind_speed(tu[3], tu[4])
         ws_os = wind_speed(os_[1], os_[2])
@@ -68,7 +52,7 @@ def make_score_step(
         else:
             rmse = weighted_rmse_channels
 
-        out: Dict[str, jnp.ndarray] = {"loss": loss}
+        out: Dict[str, jnp.ndarray] = {}
         for i, var in enumerate("zqtuv"):
             out[f"rmse_upper_{var}"] = rmse(ou[i], tu[i])
         out["rmse_upper_wind_speed"] = rmse(ws_o, ws_t)
@@ -83,6 +67,66 @@ def make_score_step(
         for i, var in enumerate("zqtuv"):
             out[f"acc_upper_{var}"] = weighted_acc_channels(ou_a[i], tu_a[i])
         out["acc_surface"] = weighted_acc_channels(os_a, ts_a)
+        return out
+
+    return score_fields
+
+
+RMSE_FAMILIES = [
+    "upper_z", "upper_q", "upper_t", "upper_u", "upper_v",
+    "upper_wind_speed", "surface", "surface_wind_speed",
+]
+ACC_FAMILIES = ["upper_z", "upper_q", "upper_t", "upper_u", "upper_v", "surface"]
+
+
+def score_columns(cfg: PanguConfig):
+    from pangu_tpu.config import ERA5_SURFACE_VARIABLES, ERA5_UPPER_LEVELS
+
+    levels = [str(l) for l in range(cfg.model.levels)]
+    svars = [str(v) for v in range(cfg.model.surface_vars)]
+    if cfg.model.levels == len(ERA5_UPPER_LEVELS):
+        levels = list(ERA5_UPPER_LEVELS)
+    if cfg.model.surface_vars == len(ERA5_SURFACE_VARIABLES):
+        svars = list(ERA5_SURFACE_VARIABLES)
+    return levels, svars
+
+
+def write_score_tables(csv_path: str, rmse_scores, acc_scores, cfg: PanguConfig):
+    levels, svars = score_columns(cfg)
+    save_error_scores(csv_path, rmse_scores, "rmse",
+                      upper_levels=levels, surface_vars=svars)
+    save_error_scores(csv_path, acc_scores, "acc",
+                      upper_levels=levels, surface_vars=svars)
+
+
+def make_score_step(
+    model: PanguModel, cfg: PanguConfig, return_fields: bool = False
+) -> Callable:
+    """(params, batch, aux) -> dict of scalars/arrays for one sample batch.
+
+    ``return_fields`` additionally returns the de-normalized predicted fields
+    (for visualization) at the cost of the device->host transfer."""
+
+    use_mask = cfg.train.use_custom_mask
+    score_fields = make_field_scorer(cfg)
+
+    def score(params, batch: Batch, aux: AuxConstants) -> Dict[str, jnp.ndarray]:
+        out_u, out_s = model.apply(params, batch.upper, batch.surface, aux, True)
+        tgt_u_n, tgt_s_n = norm_data(batch.target_upper, batch.target_surface, aux)
+        loss = weighted_l1_loss(
+            out_u, out_s, tgt_u_n, tgt_s_n, aux,
+            only_wind_speed=cfg.train.only_wind_speed_loss,
+            mask=aux.custom_mask if use_mask else None,
+        )
+        # physical units for scoring (reference models/pangu_sample.py:479-480)
+        out_u, out_s = norm_back_data(out_u, out_s, aux)
+
+        # squeeze batch (test batch size is 1, reference era5_data/config.py:74)
+        ou, os_ = out_u[0], out_s[0]
+        tu, ts = batch.target_upper[0], batch.target_surface[0]
+
+        out = {"loss": loss}
+        out.update(score_fields(ou, os_, tu, ts, aux))
         if return_fields:
             out["output_upper"] = ou
             out["output_surface"] = os_
@@ -107,11 +151,8 @@ def evaluate(
         score_step or make_score_step(model, cfg, return_fields=visualize)
     )
 
-    families_rmse = [
-        "upper_z", "upper_q", "upper_t", "upper_u", "upper_v",
-        "upper_wind_speed", "surface", "surface_wind_speed",
-    ]
-    families_acc = ["upper_z", "upper_q", "upper_t", "upper_u", "upper_v", "surface"]
+    families_rmse = RMSE_FAMILIES
+    families_acc = ACC_FAMILIES
     rmse_scores: Dict[str, Dict[str, np.ndarray]] = {f: {} for f in families_rmse}
     acc_scores: Dict[str, Dict[str, np.ndarray]] = {f: {} for f in families_acc}
 
@@ -150,19 +191,7 @@ def evaluate(
             )
 
     csv_path = os.path.join(res_path, "csv")
-    levels = [str(l) for l in range(cfg.model.levels)]
-    svars = [str(v) for v in range(cfg.model.surface_vars)]
-    from pangu_tpu.config import ERA5_SURFACE_VARIABLES, ERA5_UPPER_LEVELS
-
-    if cfg.model.levels == len(ERA5_UPPER_LEVELS):
-        levels = list(ERA5_UPPER_LEVELS)
-    if cfg.model.surface_vars == len(ERA5_SURFACE_VARIABLES):
-        svars = list(ERA5_SURFACE_VARIABLES)
-
-    save_error_scores(csv_path, rmse_scores, "rmse",
-                      upper_levels=levels, surface_vars=svars)
-    save_error_scores(csv_path, acc_scores, "acc",
-                      upper_levels=levels, surface_vars=svars)
+    write_score_tables(csv_path, rmse_scores, acc_scores, cfg)
 
     mean_loss = total_loss / max(1, n)
     if logger:

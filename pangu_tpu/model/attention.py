@@ -3,15 +3,15 @@
 Re-designed for TPU from the reference's EarthAttention3D + window plumbing
 (reference models/layers.py:218-299,320-484):
 
-  * Activations keep the (B, Z, H, W, C) grid; window partition is a
-    reshape/transpose pair that XLA fuses — no flattened (B, L, C) round trips.
+  * The module consumes the *padded token grid* (B, Z, Hp, W, C) directly.
+    On TPU the fused Pallas kernel (pangu_tpu.ops.fused_block_attention)
+    reads window tiles straight from the grid — the reference's
+    partition/reverse permute chains never materialize, and scores never
+    touch HBM. Off-TPU, an equivalent XLA einsum path runs.
   * The shifted-window mask is a *static* numpy constant derived from the
     stage geometry (the reference rebuilds it with torch ops every forward,
     models/layers.py:187-216).
-  * Attention logits/softmax run in fp32 regardless of compute dtype; the
-    matmuls feed the MXU in the compute dtype.
-  * An optional fused Pallas kernel (pangu_tpu.ops) replaces the XLA path on
-    TPU, never materializing the (heads, 144, 144) score tensor in HBM.
+  * Attention logits/softmax run in fp32 regardless of compute dtype.
 
 Window layout: a stage grid (Z, Hp, W) with window (wz, wh, ww) partitions
 into ``n_lon = W/ww`` longitude windows and ``n_type = (Z/wz)*(Hp/wh)``
@@ -31,34 +31,9 @@ import numpy as np
 from flax import linen as nn
 
 from pangu_tpu.geometry import StageGeometry
+from pangu_tpu.ops.windows import window_partition, window_reverse  # noqa: F401 (re-export)
 
-
-def window_partition(x: jnp.ndarray, window: Tuple[int, int, int]) -> jnp.ndarray:
-    """(B, Z, Hp, W, C) -> (B, n_lon, n_type, T, C).
-
-    Token order inside a window is (z, h, w)-major, and the type axis
-    enumerates (z-window, h-window) pairs — both matching the reference's
-    permute/reshape chain (models/layers.py:253-262) so biases are
-    import-compatible.
-    """
-    wz, wh, ww = window
-    b, z, h, w, c = x.shape
-    x = x.reshape(b, z // wz, wz, h // wh, wh, w // ww, ww, c)
-    # -> (B, Wn, Zn, Hn, wz, wh, ww, C)
-    x = x.transpose(0, 5, 1, 3, 2, 4, 6, 7)
-    return x.reshape(b, w // ww, (z // wz) * (h // wh), wz * wh * ww, c)
-
-
-def window_reverse(
-    x: jnp.ndarray, window: Tuple[int, int, int], z: int, h: int, w: int
-) -> jnp.ndarray:
-    """Inverse of :func:`window_partition`: -> (B, Z, Hp, W, C)."""
-    wz, wh, ww = window
-    b = x.shape[0]
-    c = x.shape[-1]
-    x = x.reshape(b, w // ww, z // wz, h // wh, wz, wh, ww, c)
-    x = x.transpose(0, 2, 4, 3, 5, 1, 6, 7)
-    return x.reshape(b, z, h, w, c)
+_TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 
 
 @functools.lru_cache(maxsize=None)
@@ -95,13 +70,40 @@ def shift_attention_mask(stage: StageGeometry) -> np.ndarray:
     return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
 
 
+class DenseParams(nn.Module):
+    """Declares Dense-layout params without binding them to an application
+    site, so the fused kernel and the XLA path share one param tree."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _TRUNC, (self.in_features, self.features), self.param_dtype
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class EarthAttention3D(nn.Module):
-    """Multi-head window attention with per-window-type dense bias."""
+    """Multi-head window attention with per-window-type dense bias.
+
+    Input/output: the padded token grid (B, Z, Hp, W, C).
+    """
 
     dim: int
     heads: int
     n_type_windows: int
     tokens_per_window: int
+    window: Tuple[int, int, int] = (2, 6, 12)
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
@@ -110,56 +112,78 @@ class EarthAttention3D(nn.Module):
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """x: (B, n_lon, n_type, T, C); mask: (n_type, T, T) or None."""
-        b, n_lon, n_type, t, c = x.shape
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        epilogue: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        """epilogue: optional (ln_scale, ln_bias) — fuse the block's
+        ``x + LayerNorm(attn(x))`` post-norm residual into the kernel."""
+        b, z, hp, w, c = x.shape
         head_dim = self.dim // self.heads
         scale = head_dim**-0.5
+        cdt = self.compute_dtype
 
-        qkv = nn.Dense(
-            3 * self.dim,
-            dtype=self.compute_dtype,
-            param_dtype=self.param_dtype,
-            precision=self.precision,
-            kernel_init=nn.initializers.truncated_normal(stddev=0.02),
-            name="qkv",
-        )(x)
-        qkv = qkv.reshape(b, n_lon, n_type, t, 3, self.heads, head_dim)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-
+        wqkv, bqkv = DenseParams(self.dim, 3 * self.dim,
+                                 param_dtype=self.param_dtype, name="qkv")()
+        wproj, bproj = DenseParams(self.dim, self.dim,
+                                   param_dtype=self.param_dtype, name="proj")()
         bias = self.param(
-            "earth_bias",
-            nn.initializers.truncated_normal(stddev=0.02),
-            (self.n_type_windows, self.heads, self.tokens_per_window, self.tokens_per_window),
+            "earth_bias", _TRUNC,
+            (self.n_type_windows, self.heads, self.tokens_per_window,
+             self.tokens_per_window),
             self.param_dtype,
         )
 
-        if self.use_pallas:
-            from pangu_tpu.ops.window_attention import window_attention
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from pangu_tpu.ops.fused_block_attention import fused_block_attention
 
-            out = window_attention(q, k, v, bias, mask, scale)
-        else:
-            # (B, nW, nT, T, h, d) x (B, nW, nT, T, h, d) -> (B, nW, nT, h, T, T)
-            attn = jnp.einsum(
-                "bwnqhd,bwnkhd->bwnhqk", q * scale, k,
-                precision=self.precision, preferred_element_type=jnp.float32,
+            ln_s = ln_b = None
+            if epilogue is not None:
+                ln_s = epilogue[0].astype(jnp.float32)
+                ln_b = epilogue[1].astype(jnp.float32)
+            return fused_block_attention(
+                x.astype(cdt),
+                wqkv.astype(cdt), bqkv.astype(cdt),
+                wproj.astype(cdt), bproj.astype(cdt),
+                bias.astype(jnp.float32),
+                None if mask is None else mask.astype(jnp.float32),
+                ln_s, ln_b,
+                self.window, self.heads, scale,
             )
-            attn = attn + bias[None, None].astype(jnp.float32)
-            if mask is not None:
-                attn = attn + mask[None, None, :, None].astype(jnp.float32)
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.compute_dtype)
-            out = jnp.einsum(
-                "bwnhqk,bwnkhd->bwnqhd", attn, v,
-                precision=self.precision, preferred_element_type=jnp.float32,
-            ).astype(self.compute_dtype)
+        assert epilogue is None, "fused epilogue requires the Pallas TPU path"
 
-        out = out.reshape(b, n_lon, n_type, t, self.dim)
-        out = nn.Dense(
-            self.dim,
-            dtype=self.compute_dtype,
-            param_dtype=self.param_dtype,
-            precision=self.precision,
-            kernel_init=nn.initializers.truncated_normal(stddev=0.02),
-            name="proj",
-        )(out)
-        return out
+        # ---- XLA path ----
+        xw = window_partition(x.astype(cdt), self.window)  # (B, nW, nT, T, C)
+        t = xw.shape[3]
+        qkv = (
+            jnp.einsum("...c,cf->...f", xw, wqkv.astype(cdt),
+                       precision=self.precision,
+                       preferred_element_type=jnp.float32)
+            + bqkv.astype(jnp.float32)
+        ).astype(cdt)
+        qkv = qkv.reshape(qkv.shape[:4] + (3, self.heads, head_dim))
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        attn = jnp.einsum(
+            "bwnqhd,bwnkhd->bwnhqk", q * scale, k,
+            precision=self.precision, preferred_element_type=jnp.float32,
+        )
+        attn = attn + bias[None, None].astype(jnp.float32)
+        if mask is not None:
+            attn = attn + mask[None, None, :, None].astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(cdt)
+        out = jnp.einsum(
+            "bwnhqk,bwnkhd->bwnqhd", attn, v,
+            precision=self.precision, preferred_element_type=jnp.float32,
+        ).astype(cdt)
+
+        out = out.reshape(out.shape[:3] + (t, self.dim))
+        out = (
+            jnp.einsum("...c,cf->...f", out, wproj.astype(cdt),
+                       precision=self.precision,
+                       preferred_element_type=jnp.float32)
+            + bproj.astype(jnp.float32)
+        ).astype(cdt)
+        return window_reverse(out, self.window, z, hp, w)

@@ -4,6 +4,10 @@ Semantics match the reference blocks (models/layers.py:123-299,487-567) —
 including the post-norm residual order ``x = shortcut + drop_path(norm(attn))``
 (models/layers.py:296-297) and all asymmetric lat pad/crop rules — but operate
 on the (B, Z, H, W, C) grid with geometry from ``pangu_tpu.geometry``.
+
+On TPU inference the whole block runs as two fused Pallas kernels
+(attention+norm1+residual, mlp+norm2+residual); training and off-TPU paths
+use the equivalent XLA formulation (stochastic depth needs the unfused form).
 """
 
 from __future__ import annotations
@@ -17,18 +21,47 @@ from flax import linen as nn
 
 from pangu_tpu.geometry import StageGeometry
 from pangu_tpu.model.attention import (
+    DenseParams,
     EarthAttention3D,
     shift_attention_mask,
-    window_partition,
-    window_reverse,
 )
 
 _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
+_LN_EPS = 1e-5
+
+
+class LayerNormParams(nn.Module):
+    """Declares LayerNorm scale/bias without binding the application site,
+    so fused kernels and the XLA path share one param tree."""
+
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          self.param_dtype)
+        return scale, bias
+
+
+def apply_layer_norm(x: jnp.ndarray, scale, bias) -> jnp.ndarray:
+    """fp32-statistics LayerNorm (torch semantics, eps 1e-5)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 class Mlp(nn.Module):
     """Linear(4x) -> GELU(exact) -> Linear (reference models/layers.py:302-317;
-    torch nn.GELU is the erf form, hence approximate=False)."""
+    torch nn.GELU is the erf form, hence approximate=False).
+
+    ``__call__(x)`` returns the raw MLP output (XLA path); with ``fused=True``
+    it runs the full ``x + LN(mlp(x))`` block tail as one Pallas kernel."""
 
     dim: int
     ratio: int = 4
@@ -37,15 +70,31 @@ class Mlp(nn.Module):
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.dim * self.ratio, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, precision=self.precision,
-                     kernel_init=_TRUNC, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
-        x = nn.Dense(self.dim, dtype=self.compute_dtype,
-                     param_dtype=self.param_dtype, precision=self.precision,
-                     kernel_init=_TRUNC, name="fc2")(x)
-        return x
+    def __call__(self, x: jnp.ndarray, ln: Optional[Tuple] = None,
+                 fused: bool = False) -> jnp.ndarray:
+        cdt = self.compute_dtype
+        w1, b1 = DenseParams(self.dim, self.dim * self.ratio,
+                             param_dtype=self.param_dtype, name="fc1")()
+        w2, b2 = DenseParams(self.dim * self.ratio, self.dim,
+                             param_dtype=self.param_dtype, name="fc2")()
+        if fused:
+            from pangu_tpu.ops.fused_mlp import fused_mlp_block
+
+            return fused_mlp_block(
+                x.astype(cdt), w1.astype(cdt), b1.astype(cdt),
+                w2.astype(cdt), b2.astype(cdt),
+                ln[0].astype(jnp.float32), ln[1].astype(jnp.float32),
+            )
+        h = (jnp.einsum("...c,cf->...f", x.astype(cdt), w1.astype(cdt),
+                        precision=self.precision,
+                        preferred_element_type=jnp.float32)
+             + b1.astype(jnp.float32)).astype(cdt)
+        h = jax.nn.gelu(h, approximate=False)
+        y = (jnp.einsum("...f,fc->...c", h, w2.astype(cdt),
+                        precision=self.precision,
+                        preferred_element_type=jnp.float32)
+             + b2.astype(jnp.float32)).astype(cdt)
+        return y
 
 
 class DropPath(nn.Module):
@@ -86,6 +135,20 @@ class EarthSpecificBlock(nn.Module):
         b, z, h, w, c = x.shape
         assert (z, h, w) == (st.z, st.h, st.w), (x.shape, st)
 
+        ln1 = LayerNormParams(self.dim, self.param_dtype, name="norm1")()
+        ln2 = LayerNormParams(self.dim, self.param_dtype, name="norm2")()
+        mlp = Mlp(self.dim, compute_dtype=self.compute_dtype,
+                  param_dtype=self.param_dtype, precision=self.precision,
+                  name="mlp")
+
+        # Fused kernels implement the deterministic (inference) epilogues;
+        # stochastic depth during training needs the unfused form.
+        fused = (
+            self.use_pallas
+            and deterministic
+            and jax.default_backend() == "tpu"
+        )
+
         shortcut = x
         # Trailing-only lat pad to the window grid (reference pads (0, 5) at
         # 181->186 and 91->96, models/layers.py:178,228-229).
@@ -96,36 +159,33 @@ class EarthSpecificBlock(nn.Module):
             x = jnp.roll(x, shift=(-(wz // 2), -(wh // 2), -(ww // 2)), axis=(1, 2, 3))
             mask = jnp.asarray(shift_attention_mask(st))
 
-        xw = window_partition(x, st.window)
-        xw = EarthAttention3D(
+        x = EarthAttention3D(
             dim=self.dim,
             heads=self.heads,
             n_type_windows=st.n_type_windows,
             tokens_per_window=st.tokens_per_window,
+            window=st.window,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.use_pallas,
             precision=self.precision,
             name="attn",
-        )(xw, mask)
-        x = window_reverse(xw, st.window, st.z, st.h_pad, st.w)
+        )(x, mask, epilogue=ln1 if fused else None)
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
         x = x[:, :, :h]  # crop the lat pad (reference models/layers.py:287-288)
 
+        if fused:
+            # x is already shortcut + LN(attn) (kernel epilogue: rolls commute
+            # with per-token ops and pad rows were just cropped); finish with
+            # the fused mlp tail.
+            return mlp(x, ln=ln2, fused=True)
+
         # Post-norm residuals (reference models/layers.py:296-297).
         drop = DropPath(self.drop_path_rate, name="drop_path")
-        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
-                             param_dtype=self.param_dtype, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
-                             param_dtype=self.param_dtype, name="norm2")
-        mlp = Mlp(self.dim, compute_dtype=self.compute_dtype,
-                  param_dtype=self.param_dtype, precision=self.precision,
-                  name="mlp")
-
-        x = shortcut + drop(norm1(x), deterministic)
-        x = x + drop(norm2(mlp(x)), deterministic)
+        x = shortcut + drop(apply_layer_norm(x, *ln1), deterministic)
+        x = x + drop(apply_layer_norm(mlp(x), *ln2), deterministic)
         return x
 
 

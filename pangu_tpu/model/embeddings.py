@@ -53,7 +53,10 @@ class PatchEmbedding(nn.Module):
         b = surface.shape[0]
 
         # ---- surface: (B, Vs, lat, lon) ----
+        # normalize in fp32, then drop to compute dtype before the layout
+        # chain so pads/reshapes/transposes move half the bytes on TPU
         surface = (surface - aux.surface_mean) / aux.surface_std
+        surface = surface.astype(self.compute_dtype)
         surface = jnp.pad(surface, ((0, 0), (0, 0), (0, g.lat_pad), (0, 0)))
         masks = jnp.broadcast_to(
             aux.surface_mask[None], (b,) + aux.surface_mask.shape
@@ -66,10 +69,11 @@ class PatchEmbedding(nn.Module):
         surface_tok = nn.Dense(
             cfg.dims[0], dtype=self.compute_dtype, param_dtype=self.param_dtype, precision=self.precision,
             kernel_init=_TRUNC, name="proj_surface",
-        )(surface.astype(self.compute_dtype))
+        )(surface)
 
         # ---- upper: (B, Vu, L, lat, lon) ----
         upper = (upper - aux.upper_mean) / aux.upper_std
+        upper = upper.astype(self.compute_dtype)
         const_h = jnp.broadcast_to(
             aux.const_h[None], (b,) + aux.const_h.shape
         ).astype(upper.dtype)
@@ -85,7 +89,7 @@ class PatchEmbedding(nn.Module):
         upper_tok = nn.Dense(
             cfg.dims[0], dtype=self.compute_dtype, param_dtype=self.param_dtype, precision=self.precision,
             kernel_init=_TRUNC, name="proj_upper",
-        )(upper.astype(self.compute_dtype))
+        )(upper)
 
         # surface plane first (reference models/layers.py:116)
         return jnp.concatenate([surface_tok[:, None], upper_tok], axis=1)

@@ -1,0 +1,158 @@
+"""Fused MLP + post-LayerNorm + residual — Pallas TPU kernel.
+
+Computes the second half of an Earth-Specific block in one HBM round trip
+(reference models/layers.py:297: ``x = x + drop_path(norm2(mlp(x)))``):
+
+    out = x + LayerNorm(GELU(x @ W1 + b1) @ W2 + b2)
+
+The XLA version moves the (rows, 4C) hidden activation and several
+LayerNorm/residual temporaries through HBM; here the hidden exists only in
+VMEM per row-chunk. Grid is 1D over row chunks; weights stay resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LN_EPS = 1e-5
+
+
+def _layer_norm_f32(y, scale, bias):
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+    return (y - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+
+
+def _erf_f32(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |error| < 1.5e-7 (fp32-grade).
+    Mosaic has no erf primitive; exp is a native transcendental."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_f32(h):
+    """0.5 * h * (1 + erf(h / sqrt(2))) — torch nn.GELU semantics."""
+    return 0.5 * h * (1.0 + _erf_f32(h * np.float32(0.7071067811865476)))
+
+
+def _make_kernel(precise: bool):
+    prec = jax.lax.Precision.HIGHEST if precise else jax.lax.Precision.DEFAULT
+
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref, t_ref, out_ref):
+        x = x_ref[:]
+        h = jax.lax.dot_general(
+            x, w1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) + b1_ref[:].astype(jnp.float32)
+        h = _gelu_exact_f32(h).astype(x.dtype)
+        y = jax.lax.dot_general(
+            h, w2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) + b2_ref[:].astype(jnp.float32)
+        y = _layer_norm_f32(y, s_ref[:].astype(jnp.float32),
+                            t_ref[:].astype(jnp.float32))
+        out_ref[:] = (y + x.astype(jnp.float32)).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _xla_reference(x2d, w1, b1, w2, b2, scale, bias, precision=None):
+    h = (jnp.einsum("rc,cf->rf", x2d, w1, precision=precision,
+                    preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32)).astype(x2d.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    y = (jnp.einsum("rf,fc->rc", h, w2, precision=precision,
+                    preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32))
+    y = _layer_norm_f32(y, scale.astype(jnp.float32), bias.astype(jnp.float32))
+    return (y + x2d.astype(jnp.float32)).astype(x2d.dtype)
+
+
+def _pick_chunk(rows: int, c: int) -> int:
+    budget = 1440 if c <= 256 else 720
+    for chunk in range(min(budget, rows), 0, -8):
+        if rows % chunk == 0 and chunk % 8 == 0:
+            return chunk
+    return 0
+
+
+@jax.custom_vjp
+def fused_mlp_block(x, w1, b1, w2, b2, scale, bias):
+    """x: (..., C) -> x + LN(GELU(x@W1+b1)@W2+b2). Any leading shape."""
+    return _forward(x, w1, b1, w2, b2, scale, bias)
+
+
+def _forward(x, w1, b1, w2, b2, scale, bias):
+    shape = x.shape
+    c = shape[-1]
+    rows = 1
+    for d in shape[:-1]:
+        rows *= d
+    x2d = x.reshape(rows, c)
+
+    chunk = _pick_chunk(rows, c)
+    if jax.default_backend() != "tpu" or chunk == 0 or x.dtype == jnp.float32:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+        return _xla_reference(x2d, w1, b1, w2, b2, scale, bias,
+                              precision=prec).reshape(shape)
+
+    kernel = _make_kernel(precise=False)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    hidden = w1.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec(w1), const_spec(b1), const_spec(w2), const_spec(b2),
+            const_spec(scale), const_spec(bias),
+        ],
+        out_specs=pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * c * hidden * 2,
+            bytes_accessed=2 * rows * c * x.dtype.itemsize,
+            transcendentals=rows * hidden,
+        ),
+    )(x2d, w1, b1, w2, b2, scale, bias)
+    return out.reshape(shape)
+
+
+def _fwd(x, w1, b1, w2, b2, scale, bias):
+    return _forward(x, w1, b1, w2, b2, scale, bias), (x, w1, b1, w2, b2, scale, bias)
+
+
+def _bwd(res, g):
+    x, w1, b1, w2, b2, scale, bias = res
+    shape = x.shape
+    c = shape[-1]
+    x2d = x.reshape(-1, c)
+    _, vjp = jax.vjp(_xla_reference, x2d, w1, b1, w2, b2, scale, bias)
+    dx, dw1, db1, dw2, db2, ds, dbi = vjp(g.reshape(-1, c))
+    return dx.reshape(shape), dw1, db1, dw2, db2, ds, dbi
+
+
+fused_mlp_block.defvjp(_fwd, _bwd)

@@ -1,0 +1,227 @@
+"""Rollout inference engines (reference inference/*.py family).
+
+Engines:
+  * ``single_output_eval``   — single-model horizon forecast over a test
+    range, one CSV set (reference inference_singleOutput.py).
+  * ``multi_output_rollout`` — N-day autoregressive rollout from 00Z starts,
+    every frame scored against re-fetched ground truth, per-init-time CSV
+    dirs (reference inference_multiOutput.py). A ``choose_horizon`` rule
+    generalizes the hour-based model mixing of the mix24 variants
+    (inference_multiOutput-{3,6}-mix24.py): each specialized model keeps its
+    own input chain, the base chain absorbs every emitted frame.
+  * ``hierarchical_forecast`` — the paper's greedy horizon decomposition:
+    fill hours 24..48 with the 24h -> 6h -> 3h -> 1h models, each step
+    starting from the latest stored prediction (inference_iterative.py:145-200),
+    with optional compressed on-disk spill of intermediate frames.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from pangu_tpu.aux import AuxConstants
+from pangu_tpu.config import PanguConfig
+from pangu_tpu.eval.evaluate import (
+    ACC_FAMILIES,
+    RMSE_FAMILIES,
+    make_field_scorer,
+    write_score_tables,
+)
+from pangu_tpu.model import PanguModel
+from pangu_tpu.rollout.autoregressive import make_forecast_step
+
+
+@dataclass
+class ModelBundle:
+    """One horizon model: weights + its aux constants (the reference keys
+    ONNX sessions and constantMask{h} files by horizon)."""
+
+    model: PanguModel
+    params: object
+    aux: AuxConstants
+    horizon: int
+
+    def forecast_step(self):
+        if not hasattr(self, "_step"):
+            self._step = make_forecast_step(self.model, donate=False)
+        return self._step
+
+
+def _new_score_dicts():
+    return (
+        {f: {} for f in RMSE_FAMILIES},
+        {f: {} for f in ACC_FAMILIES},
+    )
+
+
+def _record(rmse_scores, acc_scores, scores, key: str):
+    for f in RMSE_FAMILIES:
+        rmse_scores[f][key] = np.asarray(scores[f"rmse_{f}"])
+    for f in ACC_FAMILIES:
+        acc_scores[f][key] = np.asarray(scores[f"acc_{f}"])
+
+
+def single_output_eval(
+    bundle: ModelBundle,
+    loader,
+    cfg: PanguConfig,
+    res_path: str,
+    steps: int = 1,
+) -> None:
+    """Forecast each test sample with ``steps`` autoregressive applications
+    of one model and score the final frame; one CSV set for the run."""
+    step_fn = bundle.forecast_step()
+    scorer = jax.jit(make_field_scorer(cfg))
+    rmse_scores, acc_scores = _new_score_dicts()
+
+    for batch, periods in loader:
+        u, s = batch.upper, batch.surface
+        for _ in range(steps):
+            u, s = step_fn(bundle.params, u, s, bundle.aux)
+        scores = scorer(u[0], s[0], batch.target_upper[0],
+                        batch.target_surface[0], bundle.aux)
+        _record(rmse_scores, acc_scores, jax.device_get(scores), periods[0][1])
+
+    write_score_tables(os.path.join(res_path, "csv"), rmse_scores, acc_scores, cfg)
+
+
+def multi_output_rollout(
+    bundles: Dict[int, ModelBundle],
+    dataset,
+    cfg: PanguConfig,
+    res_path: str,
+    base_horizon: int,
+    lead_days: int = 10,
+    choose_horizon: Optional[Callable[[datetime], int]] = None,
+    starts_at_hour: int = 0,
+) -> None:
+    """N-day rollout from each ``starts_at_hour``Z init in the dataset.
+
+    ``choose_horizon(current_time)`` picks which model advances this step
+    (default: always the base model). Per-init-time CSV directories under
+    ``res_path/<init_time>/csv`` (reference inference_multiOutput.py:320-327).
+    """
+    choose_horizon = choose_horizon or (lambda t: base_horizon)
+    scorer = jax.jit(make_field_scorer(cfg))
+    base = bundles[base_horizon]
+    spaces = lead_days * 24 // base_horizon
+
+    for idx in range(len(dataset)):
+        upper, surface, _, _, periods = dataset[idx]
+        init_str = periods[0]
+        init_time = datetime.strptime(init_str, "%Y%m%d%H")
+        if init_time.hour != starts_at_hour:
+            continue
+
+        upper, surface = upper[None], surface[None]
+        # per-model input chains (reference mix24 state logic,
+        # inference_multiOutput-3-mix24.py:164-165,183-194)
+        chains: Dict[int, Tuple] = {h: (upper, surface) for h in bundles}
+
+        rmse_scores, acc_scores = _new_score_dicts()
+        for space in range(spaces):
+            current = init_time + timedelta(hours=base_horizon * (space + 1))
+            h = choose_horizon(current)
+            b = bundles[h]
+            u_in, s_in = chains[h]
+            u_out, s_out = b.forecast_step()(b.params, u_in, s_in, b.aux)
+            chains[h] = (u_out, s_out)
+            if h != base_horizon:
+                chains[base_horizon] = (u_out, s_out)
+
+            # re-fetch ground truth at `current` from the dataset
+            # (reference inference_multiOutput.py:190-193)
+            try:
+                key_idx = dataset.keys.index(current)
+            except ValueError:
+                continue
+            gt_upper, gt_surface = dataset.store.load(current)
+            scores = scorer(u_out[0], s_out[0], gt_upper, gt_surface, b.aux)
+            _record(rmse_scores, acc_scores, jax.device_get(scores),
+                    current.strftime("%Y%m%d%H"))
+
+        csv_dir = os.path.join(res_path, init_str, "csv")
+        write_score_tables(csv_dir, rmse_scores, acc_scores, cfg)
+
+
+def mix24_rule(base_horizon: int) -> Callable[[datetime], int]:
+    """Hour-based model selection of the mix24 variants: 00Z -> 24h model;
+    (3h base) 06/12/18Z -> 6h model; otherwise the base model."""
+
+    def rule(t: datetime) -> int:
+        if t.hour == 0:
+            return 24
+        if base_horizon == 3 and t.hour in (6, 12, 18):
+            return 6
+        return base_horizon
+
+    return rule
+
+
+def hierarchical_forecast(
+    bundles: Dict[int, ModelBundle],
+    init_time: datetime,
+    upper: np.ndarray,
+    surface: np.ndarray,
+    spill_dir: Optional[str] = None,
+    hours: Tuple[int, int] = (24, 48),
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Greedy horizon decomposition for hours 24..48
+    (reference inference_iterative.py:145-200):
+
+      24h model -> hour 24; 6h -> 30/36/42/48; 3h -> 27/33/39/45;
+      1h -> the rest; each step starts from the latest prediction at
+      ``h - model_horizon`` or earlier. Hour 0 is the (given) analysis state.
+
+    Returns {hour: (upper, surface)}. With ``spill_dir``, intermediate frames
+    live as compressed .npz on disk (reference save/load_prediction,
+    inference_iterative.py:95-128) and the dict holds lazy loaders' paths.
+    """
+    lo, hi = hours
+    preds: Dict[int, object] = {0: (upper, surface)}
+
+    def store(h: int, u, s):
+        u, s = np.asarray(u), np.asarray(s)
+        if spill_dir:
+            t = init_time + timedelta(hours=h)
+            date_dir = os.path.join(spill_dir, t.strftime("%Y%m%d"))
+            os.makedirs(date_dir, exist_ok=True)
+            path = os.path.join(date_dir, t.strftime("%Y%m%d_%H") + ".npz")
+            np.savez_compressed(path, output=u, output_surface=s, hour=h)
+            preds[h] = path
+        else:
+            preds[h] = (u, s)
+
+    def load(h: int):
+        item = preds[h]
+        if isinstance(item, str):
+            data = np.load(item)
+            return data["output"], data["output_surface"]
+        return item
+
+    def run(model_h: int, target_hours: Sequence[int]):
+        b = bundles[model_h]
+        for h in target_hours:
+            if h in preds:
+                continue
+            latest = max(x for x in preds if x <= h - model_h)
+            u_in, s_in = load(latest)
+            u, s = b.forecast_step()(b.params, u_in[None] if u_in.ndim == 4 else u_in,
+                                     s_in[None] if s_in.ndim == 3 else s_in, b.aux)
+            store(h, np.asarray(u)[0], np.asarray(s)[0])
+
+    run(24, [h for h in range(lo, hi + 1) if h % 24 == 0])
+    if 6 in bundles:
+        run(6, [h for h in range(lo, hi + 1) if h % 6 == 0])
+    if 3 in bundles:
+        run(3, [h for h in range(lo, hi + 1) if h % 3 == 0])
+    if 1 in bundles:
+        run(1, list(range(lo, hi + 1)))
+
+    return {h: load(h) for h in sorted(preds) if lo <= h <= hi}

@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pangu_tpu.aux import synthetic_aux_constants
+from pangu_tpu.config import DataConfig, pangu_tiny
+from pangu_tpu.data import make_loader
+from pangu_tpu.model import PanguModel
+from pangu_tpu.train.lora import (
+    LoraConfig,
+    changed_param_report,
+    count_trainable,
+    init_lora_params,
+    lora_target_paths,
+    make_lora_train_step,
+    merge_params,
+)
+from pangu_tpu.train.step import TrainState, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = pangu_tiny()
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    m = cfg.model
+    rng = np.random.default_rng(0)
+    upper = rng.standard_normal((1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    surface = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), upper, surface, aux)
+    return cfg, model, params, aux, upper, surface
+
+
+def test_targets_exclude_io_heads(setup):
+    cfg, model, params, *_ = setup
+    lcfg = LoraConfig()
+    targets = lora_target_paths(params, lcfg)
+    joined = ["/".join(t) for t in targets]
+    assert any("attn/qkv" in j for j in joined)
+    assert any("mlp/fc1" in j for j in joined)
+    assert any("downsample" in j for j in joined)
+    assert not any("patch_recovery" in j for j in joined)
+    assert not any("patch_embed" in j for j in joined)
+
+
+def test_merge_identity_at_init(setup):
+    """B=0 at init -> merged == base except nothing (delta is zero)."""
+    cfg, model, params, aux, upper, surface = setup
+    lcfg = LoraConfig()
+    trainable = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+    merged = merge_params(params, trainable, lcfg)
+    out_b = model.apply(params, upper, surface, aux)
+    out_m = model.apply(merged, upper, surface, aux)
+    np.testing.assert_allclose(
+        np.asarray(out_m[0]), np.asarray(out_b[0]), atol=1e-6
+    )
+    assert count_trainable(trainable) < sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(params)
+    )
+
+
+def test_lora_training_moves_only_targets(setup):
+    import dataclasses
+
+    cfg, model, params, aux, *_ = setup
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, lr=1e-3),
+        data=DataConfig(train_start="20180101", train_end="20180105",
+                        train_freq="24h", prefetch=0),
+    )
+    lcfg = LoraConfig()
+    trainable = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+    opt = make_optimizer(cfg)
+    state = TrainState(trainable, opt.init(trainable), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_lora_train_step(model, cfg, opt, params, lcfg))
+
+    loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1)
+    batch, _ = next(iter(loader))
+    losses = []
+    for i in range(4):
+        state, loss = step(state, batch, aux, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    merged = merge_params(params, state.params, lcfg)
+    changed = changed_param_report(params, merged)
+    assert any("attn/qkv/kernel" in c for c in changed)
+    # biases and norms are never LoRA targets -> unchanged
+    assert not any(c.endswith("norm1/scale") for c in changed)
+    assert not any("attn/qkv/bias" in c for c in changed)
+    # full-train subtrees did move
+    assert any(c.startswith("params/patch_recovery") for c in changed)

@@ -58,13 +58,12 @@ def test_shift_mask_parity(ref, torch):
         np.testing.assert_array_equal(mine, ref_mask[lon_w])
 
 
-def _copy_attention(torch_attn, dim, heads, n_type):
-    import jax
-
+def _copy_attention(torch_attn, dim, heads, n_type, window):
     from pangu_tpu.model.attention import EarthAttention3D
 
     mine = EarthAttention3D(
-        dim=dim, heads=heads, n_type_windows=n_type, tokens_per_window=144
+        dim=dim, heads=heads, n_type_windows=n_type, tokens_per_window=144,
+        window=window,
     )
     sd = {k: v.detach().numpy() for k, v in torch_attn.state_dict().items()}
     params = {
@@ -77,31 +76,43 @@ def _copy_attention(torch_attn, dim, heads, n_type):
     return mine, params
 
 
-@pytest.mark.parametrize("dim,heads,n_type,n_lon", [(192, 6, 124, 2), (384, 12, 64, 1)])
-def test_attention_parity(ref, torch, rng, dim, heads, n_type, n_lon):
-    t_attn = ref.EarthAttention3D(dim, heads, 0.0, (2, 6, 12), device="cpu").eval()
-    mine, params = _copy_attention(t_attn, dim, heads, n_type)
+@pytest.mark.parametrize("which,dim,heads", [("outer", 192, 6), ("inner", 384, 12)])
+def test_attention_parity(ref, torch, rng, which, dim, heads):
+    from pangu_tpu.geometry import compute_geometry
+    from pangu_tpu.model.attention import shift_attention_mask
+    from pangu_tpu.ops.windows import window_partition
 
-    x = rng.standard_normal((n_lon, n_type, 144, dim)).astype(np.float32)
+    g = compute_geometry(_narrow_cfg())
+    stage = g.outer if which == "outer" else g.inner
+    t_attn = ref.EarthAttention3D(dim, heads, 0.0, (2, 6, 12), device="cpu").eval()
+    mine, params = _copy_attention(
+        t_attn, dim, heads, stage.n_type_windows, stage.window
+    )
+
+    # my module consumes the padded grid; the reference consumes windows
+    x_grid = rng.standard_normal(
+        (1, stage.z, stage.h_pad, stage.w, dim)
+    ).astype(np.float32)
+    xw = np.asarray(window_partition(x_grid, stage.window))  # (1,nW,nT,T,C)
+    x_ref = xw[0]
+
     with torch.no_grad():
-        ref_out = t_attn(torch.from_numpy(x), None).numpy()
-    got = np.asarray(mine.apply(params, x[None], None))[0]
+        ref_out = t_attn(torch.from_numpy(x_ref), None).numpy()
+    got_grid = mine.apply(params, x_grid, None)
+    got = np.asarray(window_partition(got_grid, stage.window))[0]
     np.testing.assert_allclose(got, ref_out, atol=ATOL)
 
     # shifted path with mask
-    from pangu_tpu.config import ModelConfig
-    from pangu_tpu.geometry import compute_geometry
-    from pangu_tpu.model.attention import shift_attention_mask
-
-    g = compute_geometry(_narrow_cfg())
-    stage = g.outer if dim == 192 else g.inner
     mask = shift_attention_mask(stage)
     t_mask = torch.from_numpy(
-        np.broadcast_to(mask[None], (n_lon,) + mask.shape).copy()
+        np.broadcast_to(
+            mask[None], (stage.n_lon_windows,) + mask.shape
+        ).copy()
     )
     with torch.no_grad():
-        ref_out = t_attn(torch.from_numpy(x), t_mask).numpy()
-    got = np.asarray(mine.apply(params, x[None], mask))[0]
+        ref_out = t_attn(torch.from_numpy(x_ref), t_mask).numpy()
+    got_grid = mine.apply(params, x_grid, mask)
+    got = np.asarray(window_partition(got_grid, stage.window))[0]
     np.testing.assert_allclose(got, ref_out, atol=ATOL)
 
 

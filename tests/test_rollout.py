@@ -1,0 +1,118 @@
+"""Rollout engine tests on tiny geometry with synthetic data."""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+import jax
+
+from pangu_tpu.aux import synthetic_aux_constants
+from pangu_tpu.config import DataConfig, pangu_tiny
+from pangu_tpu.data import Era5Dataset, SyntheticStore, make_loader
+from pangu_tpu.model import PanguModel
+from pangu_tpu.rollout import (
+    ModelBundle,
+    hierarchical_forecast,
+    multi_output_rollout,
+    single_output_eval,
+)
+from pangu_tpu.rollout.aggregate import write_aggregates
+from pangu_tpu.rollout.autoregressive import make_forecast_step, rollout_scan
+from pangu_tpu.rollout.engines import mix24_rule
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = pangu_tiny()
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    m = cfg.model
+    rng = np.random.default_rng(0)
+    upper = rng.standard_normal(
+        (1, m.upper_vars, m.levels, m.lat, m.lon)
+    ).astype(np.float32)
+    surface = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), upper, surface, aux)
+    return cfg, model, params, aux, upper, surface
+
+
+def test_forecast_step_shapes(setup):
+    cfg, model, params, aux, upper, surface = setup
+    step = make_forecast_step(model, donate=False)
+    u, s = step(params, upper, surface, aux)
+    assert u.shape == upper.shape and s.shape == surface.shape
+
+
+def test_rollout_scan_matches_loop(setup):
+    cfg, model, params, aux, upper, surface = setup
+    traj_u, traj_s = rollout_scan(model, params, upper, surface, aux, steps=3)
+    assert traj_u.shape[0] == 3
+
+    step = make_forecast_step(model, donate=False)
+    u, s = upper, surface
+    for i in range(3):
+        u, s = step(params, u, s, aux)
+        np.testing.assert_allclose(
+            np.asarray(traj_u[i]), np.asarray(u), atol=2e-4
+        )
+
+
+def test_single_output_eval(setup, tmp_path):
+    cfg, model, params, aux, *_ = setup
+    cfg = cfg.replace(data=DataConfig(
+        test_start="20180101", test_end="20180105", test_freq="24h", prefetch=0,
+    ))
+    bundle = ModelBundle(model, params, aux, cfg.horizon)
+    loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
+    single_output_eval(bundle, loader, cfg, str(tmp_path))
+    assert os.path.exists(tmp_path / "csv" / "rmse_upper_z.csv")
+    assert os.path.exists(tmp_path / "csv" / "acc_surface.csv")
+
+
+def test_multi_output_rollout_and_aggregate(setup, tmp_path):
+    cfg, model, params, aux, *_ = setup
+    store = SyntheticStore(cfg.model)
+    ds = Era5Dataset(store, "20180101", "20180110", "24h", 24)
+    bundles = {24: ModelBundle(model, params, aux, 24)}
+    res = str(tmp_path / "rollout")
+    multi_output_rollout(bundles, ds, cfg, res, base_horizon=24, lead_days=3)
+
+    init_dirs = sorted(os.listdir(res))
+    assert len(init_dirs) >= 2
+    first = os.path.join(res, init_dirs[0], "csv")
+    assert os.path.exists(os.path.join(first, "rmse_surface_wind_speed.csv"))
+
+    agg = write_aggregates(res, str(tmp_path / "agg"), plot=True)
+    assert set(agg.columns) == {"forecast_hour", "mean", "std", "count"}
+    assert agg["forecast_hour"].tolist() == [24, 48, 72]
+    assert os.path.exists(tmp_path / "agg" / "rmse_surface_wind_speed_by_hour.png")
+
+
+def test_mix24_rule():
+    rule3 = mix24_rule(3)
+    assert rule3(datetime(2018, 1, 2, 0)) == 24
+    assert rule3(datetime(2018, 1, 2, 6)) == 6
+    assert rule3(datetime(2018, 1, 2, 12)) == 6
+    assert rule3(datetime(2018, 1, 2, 9)) == 3
+    rule6 = mix24_rule(6)
+    assert rule6(datetime(2018, 1, 2, 0)) == 24
+    assert rule6(datetime(2018, 1, 2, 6)) == 6
+
+
+def test_hierarchical_forecast(setup, tmp_path):
+    cfg, model, params, aux, upper, surface = setup
+    # one bundle per horizon (same weights — structure is what's under test)
+    bundles = {h: ModelBundle(model, params, aux, h) for h in (24, 6, 3, 1)}
+    preds = hierarchical_forecast(
+        bundles, datetime(2018, 1, 1), upper[0], surface[0],
+        spill_dir=str(tmp_path / "spill"),
+    )
+    assert sorted(preds) == list(range(24, 49))
+    u24, s24 = preds[24]
+    assert u24.shape == upper[0].shape
+    # greedy ladder: hour 30 must come from the 6h model applied to hour 24
+    b6 = bundles[6]
+    u_direct, s_direct = b6.forecast_step()(params, u24[None], s24[None], aux)
+    np.testing.assert_allclose(preds[30][0], np.asarray(u_direct)[0], atol=2e-4)
