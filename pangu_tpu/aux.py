@@ -190,6 +190,25 @@ def norm_data(upper, surface, aux: AuxConstants):
     )
 
 
+def build_region_mask(
+    lat_range: Tuple[float, float],
+    lon_range: Tuple[float, float],
+    lat: int = 721,
+    lon: int = 1440,
+) -> np.ndarray:
+    """Rasterize a lat/lon box onto the 0.25-degree grid (role of
+    custom_mask.ipynb — the reference's example box is Xinjiang,
+    lat 34..49N / lon 73..96E). Grid convention: row 0 = 90N descending,
+    column 0 = 0E eastward."""
+    lat_lo, lat_hi = sorted(lat_range)
+    lon_lo, lon_hi = sorted(lon_range)
+    lats = 90.0 - 180.0 * np.arange(lat) / (lat - 1)
+    lons = 360.0 * np.arange(lon) / lon
+    in_lat = (lats >= lat_lo) & (lats <= lat_hi)
+    in_lon = (lons >= lon_lo) & (lons <= lon_hi)
+    return (in_lat[:, None] & in_lon[None, :]).astype(np.float32)
+
+
 def norm_back_data(upper, surface, aux: AuxConstants):
     """De-standardize model-space fields back to physical units."""
     return (

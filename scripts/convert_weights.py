@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Weight conversion (reference models/onnx2torch.py role):
+
+  ONNX -> npz:   python scripts/convert_weights.py --onnx pangu_weather_24.onnx \\
+                     --name-map keys.csv --out params_24.npz --aux-out aux_data
+  torch -> npz:  python scripts/convert_weights.py --pth pangu_weather_24_torch.pth \\
+                     --out params_24.npz
+  npz -> torch:  python scripts/convert_weights.py --npz params_24.npz \\
+                     --out-pth pangu_weather_24_torch.pth
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pangu_tpu.config import ModelConfig
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--onnx", type=str, default=None)
+    p.add_argument("--name-map", type=str, default=None,
+                   help="torch_name,onnx_name CSV (keys_all.csv format)")
+    p.add_argument("--pth", type=str, default=None)
+    p.add_argument("--npz", type=str, default=None)
+    p.add_argument("--out", type=str, default=None, help="output params .npz")
+    p.add_argument("--out-pth", type=str, default=None,
+                   help="output reference-format torch checkpoint")
+    p.add_argument("--aux-out", type=str, default=None,
+                   help="directory for extracted normalization/mask .npy files")
+    p.add_argument("--horizon", type=int, default=24)
+    args = p.parse_args()
+
+    cfg = ModelConfig()
+
+    if args.onnx:
+        if not (args.name_map and args.out):
+            raise SystemExit("--onnx needs --name-map and --out")
+        from pangu_tpu.interop.onnx_import import convert_onnx_checkpoint
+
+        convert_onnx_checkpoint(cfg, args.onnx, args.name_map, args.out,
+                                args.aux_out, args.horizon)
+        print(f"wrote {args.out}" + (f" and aux files to {args.aux_out}"
+                                     if args.aux_out else ""))
+    elif args.pth:
+        from pangu_tpu.interop.npz_io import save_params_npz
+        from pangu_tpu.interop.torch_import import (
+            load_torch_checkpoint,
+            params_from_state_dict,
+        )
+
+        params = params_from_state_dict(cfg, load_torch_checkpoint(args.pth))
+        save_params_npz(args.out, params)
+        print(f"wrote {args.out}")
+    elif args.npz and args.out_pth:
+        import torch
+
+        from pangu_tpu.interop.npz_io import load_params_npz
+        from pangu_tpu.interop.torch_import import state_dict_from_params
+
+        params = load_params_npz(args.npz)
+        state = {k: torch.from_numpy(v)
+                 for k, v in state_dict_from_params(cfg, params).items()}
+        torch.save({"model": state}, args.out_pth)
+        print(f"wrote {args.out_pth}")
+    else:
+        raise SystemExit("nothing to do; see --help")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Autoregressive rollout inference (reference inference/inference_single
+Output.py, inference_multiOutput.py, the mix24 variants and
+inference_iterative.py — selected by --mode)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datetime import datetime
+
+import numpy as np
+
+from pangu_tpu.aux import load_aux_constants
+from pangu_tpu.cli import base_parser, build_config, load_model_and_params
+from pangu_tpu.data import make_loader
+from pangu_tpu.data.dataset import Era5Dataset, make_store
+from pangu_tpu.rollout import (
+    ModelBundle,
+    hierarchical_forecast,
+    multi_output_rollout,
+    single_output_eval,
+)
+from pangu_tpu.rollout.aggregate import write_aggregates
+from pangu_tpu.rollout.engines import mix24_rule
+from pangu_tpu.utils.logger import get_logger
+
+
+def _bundle_for(cfg, args, aux, horizon, weights):
+    import argparse
+
+    sub = argparse.Namespace(**vars(args))
+    sub.weights = weights
+    model, params = load_model_and_params(cfg, sub, aux)
+    return ModelBundle(model, params, aux, horizon)
+
+
+def main() -> None:
+    p = base_parser("Rollout inference")
+    p.add_argument("--mode", default="multi",
+                   choices=["single", "multi", "mix24", "iterative"])
+    p.add_argument("--lead-days", type=int, default=10)
+    p.add_argument("--weights-6", type=str, default=None)
+    p.add_argument("--weights-3", type=str, default=None)
+    p.add_argument("--weights-1", type=str, default=None)
+    p.add_argument("--weights-24", type=str, default=None)
+    p.add_argument("--aggregate", action="store_true",
+                   help="also write forecast-hour aggregation CSVs/plots")
+    args = p.parse_args()
+
+    cfg = build_config(args)
+    out_dir = os.path.join(cfg.out_dir, f"rollout_{args.mode}", str(cfg.horizon))
+    os.makedirs(out_dir, exist_ok=True)
+    logger = get_logger("rollout", os.path.join(out_dir, "rollout.log"))
+
+    aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, cfg.horizon)
+    base = _bundle_for(cfg, args, aux, cfg.horizon, args.weights)
+
+    if args.mode == "single":
+        loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
+        single_output_eval(base, loader, cfg, out_dir)
+        logger.info("scores under %s/csv", out_dir)
+        return
+
+    store = make_store(cfg.data, cfg.model)
+    dataset = Era5Dataset(store, cfg.data.test_start, cfg.data.test_end,
+                          cfg.data.test_freq, cfg.horizon)
+
+    bundles = {cfg.horizon: base}
+    for h, w in ((24, args.weights_24), (6, args.weights_6),
+                 (3, args.weights_3), (1, args.weights_1)):
+        if w is not None and h not in bundles:
+            hcfg = cfg.replace(horizon=h)
+            bundles[h] = _bundle_for(hcfg, args, aux, h, w)
+
+    if args.mode == "iterative":
+        missing = [h for h in (24, 6, 3, 1) if h not in bundles]
+        if missing:
+            logger.warning("iterative ladder missing horizons %s; "
+                           "reusing the base model for them", missing)
+            for h in missing:
+                bundles[h] = base
+        u, s, *_ = dataset[0]
+        init = datetime.strptime(dataset[0][4][0], "%Y%m%d%H")
+        preds = hierarchical_forecast(bundles, init, u, s,
+                                      spill_dir=os.path.join(out_dir, "spill"))
+        logger.info("hierarchical predictions for hours %s", sorted(preds))
+        return
+
+    rule = mix24_rule(cfg.horizon) if args.mode == "mix24" else None
+    if args.mode == "mix24" and 24 not in bundles:
+        raise SystemExit("--mode mix24 needs --weights-24 (and --weights-6 for 3h base)")
+    multi_output_rollout(bundles, dataset, cfg, out_dir, cfg.horizon,
+                         lead_days=args.lead_days, choose_horizon=rule)
+    if args.aggregate:
+        write_aggregates(out_dir, os.path.join(out_dir, "agg"), plot=True)
+    logger.info("per-init scores under %s", out_dir)
+
+
+if __name__ == "__main__":
+    main()
