@@ -220,6 +220,47 @@ class Era5Dataset:
         tgt_upper, tgt_surface = self.store.load(t_end)
         return upper, surface, tgt_upper, tgt_surface, (time_str(t), time_str(t_end))
 
+    # ------------------------------------------------------------------
+    def load_batch(self, indices):
+        """Assemble a batch. For NpyStore-backed datasets with the native
+        C++ loader available, all 4*len(indices) files are read and packed
+        by one thread-pooled call (native/fastloader.cpp); otherwise falls
+        back to per-sample __getitem__."""
+        from pangu_tpu.data import native_loader
+
+        if not (isinstance(self.store, NpyStore) and native_loader.native_available()):
+            samples = [self[int(i)] for i in indices]
+            arrs = tuple(np.stack([s[j] for s in samples]) for j in range(4))
+            periods = tuple(s[4] for s in samples)
+            return arrs, periods
+
+        if not hasattr(self, "_shapes"):
+            u0, s0 = self.store.load(self.keys[0])
+            self._shapes = (u0.shape, s0.shape)
+        ushape, sshape = self._shapes
+        n = len(indices)
+        starts = [self.keys[int(i)] for i in indices]
+        ends = [t + timedelta(hours=self.horizon) for t in starts]
+
+        def paths(times, kind):
+            return [
+                os.path.join(self.store.root, kind, f"{kind}_{time_str(t)}.npy")
+                for t in times
+            ]
+
+        upper = np.empty((n,) + ushape, np.float32)
+        surface = np.empty((n,) + sshape, np.float32)
+        tgt_upper = np.empty((n,) + ushape, np.float32)
+        tgt_surface = np.empty((n,) + sshape, np.float32)
+        native_loader.read_batch(paths(starts, "upper"), upper)
+        native_loader.read_batch(paths(starts, "surface"), surface)
+        native_loader.read_batch(paths(ends, "upper"), tgt_upper)
+        native_loader.read_batch(paths(ends, "surface"), tgt_surface)
+        periods = tuple(
+            (time_str(t0), time_str(t1)) for t0, t1 in zip(starts, ends)
+        )
+        return (upper, surface, tgt_upper, tgt_surface), periods
+
 
 class BatchLoader:
     """Shuffling, process-sharding, prefetching batch iterator.
@@ -268,9 +309,8 @@ class BatchLoader:
         return n // per if self.drop_last else -(-n // per)
 
     def _assemble(self, indices: Sequence[int]):
-        samples = [self.ds[int(i)] for i in indices]
-        arrs = [np.stack([s[j] for s in samples]) for j in range(4)]
-        periods = tuple(s[4] for s in samples)
+        arrs, periods = self.ds.load_batch(indices)
+        arrs = list(arrs)
         if self.accumulation > 1:
             arrs = [
                 a.reshape((self.accumulation, self.batch_size) + a.shape[1:])
