@@ -100,12 +100,19 @@ def multi_output_rollout(
     lead_days: int = 10,
     choose_horizon: Optional[Callable[[datetime], int]] = None,
     starts_at_hour: int = 0,
+    score_bundle: Optional[ModelBundle] = None,
 ) -> None:
     """N-day rollout from each ``starts_at_hour``Z init in the dataset.
 
     ``choose_horizon(current_time)`` picks which model advances this step
     (default: always the base model). Per-init-time CSV directories under
     ``res_path/<init_time>/csv`` (reference inference_multiOutput.py:320-327).
+
+    ``score_bundle`` evaluates a *different* model side-by-side: the chain
+    state is driven by ``bundles`` while each step's scored output comes from
+    ``score_bundle`` applied to the same input (reference
+    inference_mix_multiOutput.py:211-216,239-240 — pretrained ONNX drives,
+    the finetuned model is what gets scored).
     """
     choose_horizon = choose_horizon or (lambda t: base_horizon)
     scorer = jax.jit(make_field_scorer(cfg))
@@ -135,6 +142,12 @@ def multi_output_rollout(
             if h != base_horizon:
                 chains[base_horizon] = (u_out, s_out)
 
+            if score_bundle is not None:
+                sb = score_bundle
+                u_sc, s_sc = sb.forecast_step()(sb.params, u_in, s_in, sb.aux)
+            else:
+                u_sc, s_sc = u_out, s_out
+
             # re-fetch ground truth at `current` from the dataset
             # (reference inference_multiOutput.py:190-193)
             try:
@@ -142,7 +155,7 @@ def multi_output_rollout(
             except ValueError:
                 continue
             gt_upper, gt_surface = dataset.store.load(current)
-            scores = scorer(u_out[0], s_out[0], gt_upper, gt_surface, b.aux)
+            scores = scorer(u_sc[0], s_sc[0], gt_upper, gt_surface, b.aux)
             _record(rmse_scores, acc_scores, jax.device_get(scores),
                     current.strftime("%Y%m%d%H"))
 

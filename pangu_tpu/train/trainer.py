@@ -60,7 +60,10 @@ class Trainer:
         logger=None,
         steps_per_epoch: int = 1,
         jit: bool = True,
+        profile_dir: Optional[str] = None,
     ):
+        #: when set, epoch 1 is captured with jax.profiler into this dir
+        self.profile_dir = profile_dir
         self.cfg = cfg
         self.model = model
         self.aux = aux
@@ -92,18 +95,44 @@ class Trainer:
         best_params = state.params
         stale_epochs = 0
 
+        bad_steps = 0
+        profiling = False
         for epoch in range(start_epoch, cfg.train.epochs + 1):
+            if self.profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
             t0 = time.time()
             epoch_loss, n_batches = 0.0, 0
             for batch, _periods in train_loader:
                 rng, step_rng = jax.random.split(rng)
                 state, loss = self.train_step(state, batch, self.aux, step_rng)
-                epoch_loss += float(loss)
+                loss = float(loss)
+                if not np.isfinite(loss):
+                    # failure brake: a non-finite loss poisons the params
+                    # irrecoverably — fail fast with a pointer to the last
+                    # good checkpoint instead of training garbage.
+                    bad_steps += 1
+                    self.logger.warning(
+                        "non-finite loss at epoch %d step %d", epoch, n_batches
+                    )
+                    if bad_steps >= 3:
+                        raise FloatingPointError(
+                            f"training diverged (non-finite loss x{bad_steps}); "
+                            f"resume from the last checkpoint under "
+                            f"{self.out_dir}/models"
+                        )
+                else:
+                    bad_steps = 0
+                epoch_loss += loss
                 n_batches += 1
             epoch_loss /= max(1, n_batches)
             self.logger.info(
                 "Epoch %d: loss=%.6f, time=%.3f", epoch, epoch_loss, time.time() - t0
             )
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.info("profile written to %s", self.profile_dir)
 
             if is_main and epoch % cfg.train.save_interval == 0:
                 ckpt.save_train_state(f"{self.out_dir}/models", epoch, state)

@@ -47,6 +47,9 @@ def main() -> None:
     p.add_argument("--weights-24", type=str, default=None)
     p.add_argument("--aggregate", action="store_true",
                    help="also write forecast-hour aggregation CSVs/plots")
+    p.add_argument("--score-weights", type=str, default=None,
+                   help="score this checkpoint while --weights drives the "
+                        "autoregressive state (mixed evaluation)")
     args = p.parse_args()
 
     cfg = build_config(args)
@@ -91,8 +94,13 @@ def main() -> None:
     rule = mix24_rule(cfg.horizon) if args.mode == "mix24" else None
     if args.mode == "mix24" and 24 not in bundles:
         raise SystemExit("--mode mix24 needs --weights-24 (and --weights-6 for 3h base)")
+    score_bundle = (
+        _bundle_for(cfg, args, aux, cfg.horizon, args.score_weights)
+        if args.score_weights else None
+    )
     multi_output_rollout(bundles, dataset, cfg, out_dir, cfg.horizon,
-                         lead_days=args.lead_days, choose_horizon=rule)
+                         lead_days=args.lead_days, choose_horizon=rule,
+                         score_bundle=score_bundle)
     if args.aggregate:
         write_aggregates(out_dir, os.path.join(out_dir, "agg"), plot=True)
     logger.info("per-init scores under %s", out_dir)

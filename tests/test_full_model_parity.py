@@ -1,0 +1,102 @@
+"""Full-geometry end-to-end parity vs the reference PanguModel.
+
+Random reference weights -> interop import -> identical inputs -> compare
+(1,5,13,721,1440)/(1,4,721,1440) outputs. ~30-60 min on this 1-core host,
+so opt-in: RUN_FULL_PARITY=1 python -m pytest tests/test_full_model_parity.py
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference
+
+pytestmark = pytest.mark.skipif(
+    not (has_reference() and os.environ.get("RUN_FULL_PARITY") == "1"),
+    reason="needs reference+torch and RUN_FULL_PARITY=1 (slow)",
+)
+
+
+def _load_reference_pangu():
+    """Import reference models/pangu_model.py with its missing deps stubbed
+    (timm, xarray, the data-dir-asserting config)."""
+    import importlib
+    import torch
+
+    from tests.ref_loader import load_reference_layers
+
+    load_reference_layers()  # installs the timm stub + ref layers module
+
+    # stub era5_data so `from era5_data import utils_data` resolves without
+    # xarray or the reference's data-directory asserts
+    era5 = types.ModuleType("era5_data")
+    era5.__path__ = ["/root/reference/era5_data"]
+    utils_data = types.ModuleType("era5_data.utils_data")
+    sys.modules.setdefault("era5_data", era5)
+    sys.modules["era5_data.utils_data"] = utils_data
+
+    models_pkg = types.ModuleType("models")
+    models_pkg.__path__ = ["/root/reference/models"]
+    sys.modules.setdefault("models", models_pkg)
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    return importlib.import_module("models.pangu_model")
+
+
+def test_full_model_parity(rng):
+    import torch
+
+    from pangu_tpu.aux import AuxConstants, synthetic_aux_constants
+    from pangu_tpu.config import ModelConfig, TrainConfig
+    from pangu_tpu.interop.torch_import import params_from_state_dict
+    from pangu_tpu.model import PanguModel
+
+    ref_mod = _load_reference_pangu()
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
+    ref_model = ref_mod.PanguModel(device="cpu").eval()
+
+    cfg = ModelConfig()  # fp32, HIGHEST precision
+    state = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = params_from_state_dict(cfg, state)
+
+    # reference-orientation constants
+    s_mean = rng.standard_normal(4).astype(np.float32)
+    s_std = (1.0 + rng.uniform(0.5, 1.5, 4)).astype(np.float32)
+    u_mean = rng.standard_normal((13, 1, 1, 5)).astype(np.float32)
+    u_std = (1.0 + rng.uniform(0.5, 1.5, (13, 1, 1, 5))).astype(np.float32)
+    masks = rng.standard_normal((1, 3, 724, 1440)).astype(np.float32)
+    const_h = rng.standard_normal((1, 1, 1, 13, 721, 1440)).astype(np.float32)
+
+    aux = synthetic_aux_constants(cfg, TrainConfig())
+    aux.surface_mean = s_mean.reshape(1, 4, 1, 1)
+    aux.surface_std = s_std.reshape(1, 4, 1, 1)
+    aux.upper_mean = np.transpose(u_mean[::-1], (1, 3, 0, 2))[..., None]
+    aux.upper_std = np.transpose(u_std[::-1], (1, 3, 0, 2))[..., None]
+    aux.surface_mask = masks[0]
+    aux.const_h = const_h.reshape(1, 13, 721, 1440)
+
+    upper = rng.standard_normal((1, 5, 13, 721, 1440)).astype(np.float32)
+    surface = rng.standard_normal((1, 4, 721, 1440)).astype(np.float32)
+
+    stats = tuple(torch.from_numpy(a) for a in (s_mean, s_std, u_mean, u_std))
+    with torch.no_grad():
+        ref_u, ref_s = ref_model(
+            torch.from_numpy(upper), torch.from_numpy(surface), stats,
+            torch.from_numpy(masks), torch.from_numpy(const_h),
+        )
+    ref_u, ref_s = ref_u.numpy(), ref_s.numpy()
+
+    model = PanguModel(cfg)
+    got_u, got_s = model.apply(params, upper, surface, aux)
+    got_u, got_s = np.asarray(got_u), np.asarray(got_s)
+
+    for got, ref, name in [(got_u, ref_u, "upper"), (got_s, ref_s, "surface")]:
+        diff = np.abs(got - ref).max()
+        scale = np.abs(ref).max()
+        print(f"{name}: max|diff|={diff:.3e} (max|ref|={scale:.3e})")
+        assert diff < 5e-4, f"{name} diverged: {diff}"

@@ -116,3 +116,34 @@ def test_hierarchical_forecast(setup, tmp_path):
     b6 = bundles[6]
     u_direct, s_direct = b6.forecast_step()(params, u24[None], s24[None], aux)
     np.testing.assert_allclose(preds[30][0], np.asarray(u_direct)[0], atol=2e-4)
+
+
+def test_score_bundle_side_by_side(setup, tmp_path):
+    """Mixed evaluation (reference inference_mix_multiOutput.py): one model
+    drives the state, a second model's outputs are what gets scored."""
+    import jax
+
+    from pangu_tpu.rollout.engines import _new_score_dicts  # noqa: F401
+
+    cfg, model, params, aux, *_ = setup
+    # a second model with different params
+    params2 = jax.tree.map(lambda x: x * 1.05, params)
+    store = SyntheticStore(cfg.model)
+    ds = Era5Dataset(store, "20180101", "20180106", "24h", 24)
+    driver = {24: ModelBundle(model, params, aux, 24)}
+    scoreb = ModelBundle(model, params2, aux, 24)
+
+    res_a = str(tmp_path / "plain")
+    res_b = str(tmp_path / "scored")
+    multi_output_rollout(driver, ds, cfg, res_a, base_horizon=24, lead_days=2)
+    multi_output_rollout(driver, ds, cfg, res_b, base_horizon=24, lead_days=2,
+                         score_bundle=scoreb)
+
+    import pandas as pd
+
+    init = sorted(os.listdir(res_a))[0]
+    a = pd.read_csv(os.path.join(res_a, init, "csv", "rmse_surface.csv"), index_col=0)
+    b = pd.read_csv(os.path.join(res_b, init, "csv", "rmse_surface.csv"), index_col=0)
+    # different model scored -> different numbers, same rows
+    assert list(a.index) == list(b.index)
+    assert not np.allclose(a.values, b.values)
