@@ -14,8 +14,8 @@ from __future__ import annotations
 import concurrent.futures as cf
 import os
 import time
-from datetime import datetime, timedelta
-from typing import Callable, Iterable, List, Optional
+from datetime import datetime
+from typing import Callable, Optional
 
 import numpy as np
 import pandas as pd

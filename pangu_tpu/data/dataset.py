@@ -21,12 +21,11 @@ Everything yields numpy; devices/sharding are the step function's concern.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import queue
 import threading
 from datetime import datetime, timedelta
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

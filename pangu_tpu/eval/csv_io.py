@@ -6,7 +6,7 @@ rows indexed by target time, columns = pressure levels / surface variables.
 from __future__ import annotations
 
 import os
-from typing import Dict, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 import pandas as pd

@@ -27,13 +27,7 @@ from typing import Dict, Mapping, Optional, Tuple
 import numpy as np
 
 from pangu_tpu.config import ModelConfig
-from pangu_tpu.interop.torch_import import (
-    _t_bias_squeeze,
-    _t_conv1d,
-    _t_copy,
-    _t_linear,
-    reference_key_map,
-)
+from pangu_tpu.interop.torch_import import _t_bias_squeeze, _t_conv1d, _t_linear, reference_key_map
 
 # Constant-node name -> aux file stem (reference models/onnx2torch.py:60-89)
 DEFAULT_CONSTANT_MAP = {

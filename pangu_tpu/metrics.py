@@ -13,7 +13,6 @@ and reduce over the trailing (H, W) dims, returning per-channel scores.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ qkv/proj matmuls here and the XLA-side MLP dominate and run full-width.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

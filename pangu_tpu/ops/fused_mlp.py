@@ -12,8 +12,6 @@ VMEM per row-chunk. Grid is 1D over row chunks; weights stay resident.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ mesh axes (sequence parallelism; SURVEY §5.7).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

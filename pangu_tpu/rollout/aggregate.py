@@ -12,7 +12,6 @@ import os
 from datetime import datetime
 from typing import List, Optional
 
-import numpy as np
 import pandas as pd
 
 

@@ -9,7 +9,7 @@ buffers — the TPU-native replacement for the reference's ONNX-session loop.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

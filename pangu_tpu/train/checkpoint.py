@@ -10,9 +10,8 @@ multi-host restart comes for free with orbax.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -9,7 +9,6 @@ step regardless of accumulation factor.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

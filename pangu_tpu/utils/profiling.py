@@ -11,7 +11,7 @@ import contextlib
 import os
 import shutil
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 
