@@ -97,3 +97,31 @@ def test_deterministic_vs_droppath(tiny):
         rngs={"droppath": jax.random.PRNGKey(1)},
     )
     assert np.isfinite(np.asarray(o3)).all()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(lat=33, lon=192, levels=5, patch=(2, 4, 4), window=(2, 6, 12),
+         depths=(1, 1, 1, 1), heads=(2, 2, 2, 2), dims=(16, 32, 32, 16)),
+    dict(lat=50, lon=64, levels=6, patch=(2, 2, 2), window=(2, 4, 8),
+         depths=(2, 1, 1, 2), heads=(2, 4, 4, 2), dims=(16, 32, 32, 16)),
+    dict(lat=49, lon=96, levels=5, patch=(1, 4, 4), window=(3, 6, 12),
+         depths=(1, 2, 2, 1), heads=(4, 4, 4, 4), dims=(16, 32, 32, 16)),
+])
+def test_forward_alternate_geometries(kw):
+    """The same model code must run non-default patch/window/grid combos
+    (shape-genericity — the reference hardcodes its geometry)."""
+    from pangu_tpu.config import pangu_tiny
+
+    cfg = pangu_tiny(**kw)
+    m = cfg.model
+    aux = synthetic_aux_constants(m, cfg.train)
+    model = PanguModel(m)
+    rng = np.random.default_rng(0)
+    upper = rng.standard_normal(
+        (1, m.upper_vars, m.levels, m.lat, m.lon)
+    ).astype(np.float32)
+    surface = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), upper, surface, aux)
+    out_u, out_s = model.apply(params, upper, surface, aux)
+    assert out_u.shape == upper.shape and out_s.shape == surface.shape
+    assert np.isfinite(np.asarray(out_u)).all()
