@@ -140,8 +140,11 @@ class EarthSpecificBlock(nn.Module):
                   param_dtype=self.param_dtype, precision=self.precision,
                   name="mlp")
 
-        # Fused kernels implement the deterministic (inference) epilogues;
-        # stochastic depth during training needs the unfused form.
+        # Fused kernels are inference-only: stochastic depth needs the
+        # unfused epilogues, and the custom_vjp residuals + XLA-formula
+        # backward of the kernels exceed single-chip HBM at full geometry
+        # (training uses the XLA form end-to-end; a fused flash backward is
+        # the planned fix).
         fused = (
             self.use_pallas
             and deterministic
@@ -166,7 +169,7 @@ class EarthSpecificBlock(nn.Module):
             window=st.window,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and deterministic,
             precision=self.precision,
             name="attn",
         )(x, mask, epilogue=ln1 if fused else None)
