@@ -69,19 +69,21 @@ def main() -> None:
     # warmup / compile
     float(rollout(params, upper, surface))
 
-    # Difference of two rollout lengths cancels the constant host<->device
-    # round-trip cost (seconds through tunneled devices), leaving pure
-    # per-step device time.
-    def timed(k):
+    # Difference of two rollout lengths cancels the host<->device round-trip
+    # cost (seconds, and noisy, through tunneled devices), leaving per-step
+    # device time. A wide K gap and min-of-several reps bound the noise to a
+    # few ms/step.
+    def timed(k, reps=4):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(rollout(params, upper, surface, k))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k_short, k_long = ROLLOUT_STEPS, 3 * ROLLOUT_STEPS
-    float(rollout(params, upper, surface, k_long))  # compile long variant
+    k_short, k_long = 5, 45
+    float(rollout(params, upper, surface, k_short))  # compile
+    float(rollout(params, upper, surface, k_long))
     value = (timed(k_long) - timed(k_short)) / (k_long - k_short)
     print(json.dumps({
         "metric": "fwd_step_time_s",
