@@ -10,20 +10,18 @@ import sys
 
 # Must be set before jax is imported anywhere. Force (not setdefault): the
 # environment pre-sets JAX_PLATFORMS to the TPU plugin, and tests must run
-# on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# on the virtual CPU mesh. Set PANGU_TPU_TESTS=1 to keep the real TPU
+# (enables tests/test_tpu_kernels.py; everything multi-device skips).
+_ON_TPU = os.environ.get("PANGU_TPU_TESTS") == "1"
 
 import jax  # noqa: E402
 
-# The environment's TPU plugin re-inserts itself into jax_platforms at import
-# (ignoring JAX_PLATFORMS), so pin the config explicitly.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The environment's TPU plugin re-inserts itself into jax_platforms at
+    # import (ignoring JAX_PLATFORMS), so pin the config explicitly.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

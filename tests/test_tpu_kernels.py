@@ -1,0 +1,106 @@
+"""On-device validation of the fused Pallas kernels against their XLA
+reference formulas. Requires a real TPU:
+
+    PANGU_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
+
+(The default test run pins the CPU backend, where the kernels fall back to
+XLA and these comparisons would be vacuous.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="needs a TPU backend (run with PANGU_TPU_TESTS=1)",
+)
+
+
+@pytest.mark.parametrize("z,hp,w,c,heads", [
+    (8, 186, 48, 192, 6),
+    (8, 96, 24, 384, 12),
+])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_block_attention_matches_xla(rng, z, hp, w, c, heads, masked):
+    from pangu_tpu.ops.fused_block_attention import (
+        _xla_reference,
+        fused_block_attention,
+    )
+
+    window = (2, 6, 12)
+    nt = (z // 2) * (hp // 6)
+    x = jnp.asarray(rng.standard_normal((1, z, hp, w, c)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)) * 0.01, jnp.bfloat16)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.bfloat16)
+    bproj = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((nt, heads, 144, 144)) * 0.02,
+                       jnp.float32)
+    mask = None
+    ln_s = ln_b = None
+    if masked:
+        mask = jnp.asarray(
+            np.where(rng.uniform(size=(nt, 144, 144)) > 0.8, -100.0, 0.0),
+            jnp.float32,
+        )
+        ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+        ln_b = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+    scale = (c // heads) ** -0.5
+    got = jax.jit(
+        lambda *a: fused_block_attention(*a, window, heads, scale)
+    )(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_s, ln_b)
+    ref = jax.jit(
+        lambda *a: _xla_reference(*a[:7], window, heads, scale,
+                                  ln_scale=a[7], ln_bias=a[8])
+    )(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_s, ln_b)
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2  # bf16 reorder tolerance
+
+
+def test_fused_mlp_matches_xla(rng):
+    from pangu_tpu.ops.fused_mlp import _xla_reference, fused_mlp_block
+
+    rows, c = 1440 * 4, 192
+    x = jnp.asarray(rng.standard_normal((rows, c)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((4 * c,)) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    t = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+    got = np.asarray(jax.jit(fused_mlp_block)(x, w1, b1, w2, b2, s, t), np.float32)
+    ref = np.asarray(_xla_reference(x, w1, b1, w2, b2, s, t), np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+
+def test_onehot_patchify_matches_reshape(rng):
+    import pangu_tpu.model.embeddings as emb_mod
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import ModelConfig, TrainConfig
+    from pangu_tpu.geometry import compute_geometry
+    from pangu_tpu.model.embeddings import PatchEmbedding
+
+    cfg = ModelConfig()
+    g = compute_geometry(cfg)
+    aux = synthetic_aux_constants(cfg, TrainConfig())
+    upper = rng.standard_normal((1, 5, 13, 721, 1440)).astype(np.float32)
+    surface = rng.standard_normal((1, 4, 721, 1440)).astype(np.float32)
+    emb = PatchEmbedding(cfg, g, compute_dtype=jnp.bfloat16)
+    params = emb.init(jax.random.PRNGKey(0), upper, surface, aux)
+    out1 = jax.jit(lambda u, s: emb.apply(params, u, s, aux))(upper, surface)
+    orig = emb_mod._use_onehot
+    try:
+        emb_mod._use_onehot = lambda d: False
+        out2 = jax.jit(lambda u, s: emb.apply(params, u, s, aux))(upper, surface)
+    finally:
+        emb_mod._use_onehot = orig
+    d = np.abs(np.asarray(out1, np.float32) - np.asarray(out2, np.float32)).max()
+    assert d < 1e-2
