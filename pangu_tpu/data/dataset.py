@@ -149,7 +149,9 @@ class SyntheticStore:
 
     def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
         m = self.cfg
-        hours = t.timestamp() / 3600.0
+        # timezone-free epoch hours: naive-naive arithmetic, unlike
+        # .timestamp() which shifts with the host timezone
+        hours = (t - datetime(1970, 1, 1)).total_seconds() / 3600.0
         phase = 2 * np.pi * (hours % 240.0) / 240.0
         ky, kx = self._modes
 
@@ -300,6 +302,15 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            # pad to a multiple of num_shards by wrapping (torch
+            # DistributedSampler semantics) so every process sees the same
+            # number of batches — unequal counts deadlock SPMD collectives
+            # at epoch end
+            per = -(-len(idx) // self.num_shards)
+            pad = per * self.num_shards - len(idx)
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
         return idx[self.shard :: self.num_shards]
 
     def __len__(self) -> int:
@@ -333,24 +344,45 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         errbox = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for item in self._batches():
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # surface loader errors on the main thread
                 errbox.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer may abandon the generator early (exception in the
+            # training loop) — unblock and drain so batches don't pin RAM
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10)
         if errbox:
             raise errbox[0]
         self.epoch += 1

@@ -108,7 +108,7 @@ def top_quantiles_error(
     qtile = 1.0 - jnp.logspace(-qlim, -qcut, num=qs)
     p_tar = jnp.quantile(target.reshape(n, c, h * w), qtile, axis=-1)
     p_pred = jnp.quantile(pred.reshape(n, c, h * w), qtile, axis=-1)
-    return jnp.mean(p_pred - p_tar, axis=1)
+    return jnp.mean(p_pred - p_tar, axis=0)
 
 
 def wind_speed(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -219,7 +219,7 @@ class PatchRecovery(nn.Module):
             p = jnp.einsum("buvphydw,rhy->buvprdw", p, R)
             p = jnp.einsum("buvprdw,ldw->buvprl", p, S)
             up = p.transpose(0, 2, 1, 3, 4, 5).reshape(
-                b, vu, g.z_upper * pz, g.h * ph + g.lat_pad * 0, cfg.lon
+                b, vu, g.z_upper * pz, g.h * ph, cfg.lon
             )
             up = up[:, :, : cfg.levels, : cfg.lat, :]
 

@@ -118,6 +118,7 @@ def multi_output_rollout(
     scorer = jax.jit(make_field_scorer(cfg))
     base = bundles[base_horizon]
     spaces = lead_days * 24 // base_horizon
+    key_set = set(dataset.keys)
 
     for idx in range(len(dataset)):
         upper, surface, _, _, periods = dataset[idx]
@@ -150,9 +151,7 @@ def multi_output_rollout(
 
             # re-fetch ground truth at `current` from the dataset
             # (reference inference_multiOutput.py:190-193)
-            try:
-                key_idx = dataset.keys.index(current)
-            except ValueError:
+            if current not in key_set:
                 continue
             gt_upper, gt_surface = dataset.store.load(current)
             scores = scorer(u_sc[0], s_sc[0], gt_upper, gt_surface, b.aux)

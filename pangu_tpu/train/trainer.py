@@ -66,7 +66,17 @@ class Trainer:
         self.profile_dir = profile_dir
         self.cfg = cfg
         self.model = model
-        self.aux = aux
+        # commit the constants to device once; numpy aux would be re-copied
+        # host->device on every jitted step (~67MB at full geometry)
+        from pangu_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.aux = jax.device_put(aux, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self.aux = jax.device_put(aux)
         self.out_dir = out_dir
         self.writer = writer
         self.logger = logger or get_logger("pangu_tpu.train")
@@ -92,7 +102,9 @@ class Trainer:
 
         is_main = jax.process_index() == 0
         best_loss = float("inf")
-        best_params = state.params
+        # train_step donates the state, which deletes any aliased buffers —
+        # best_params must be a copy (or None -> fall back to final params).
+        best_params = None
         stale_epochs = 0
 
         bad_steps = 0
@@ -150,7 +162,7 @@ class Trainer:
                     )
                 if val_loss < best_loss:
                     best_loss = val_loss
-                    best_params = state.params
+                    best_params = jax.tree.map(jnp.copy, state.params)
                     if is_main:
                         ckpt.save_params(f"{self.out_dir}/models", state.params, "best")
                     self.logger.info("current best model is saved at %d epoch.", epoch)
@@ -164,7 +176,7 @@ class Trainer:
                         )
                         break
 
-        return best_params, state
+        return (best_params if best_params is not None else state.params), state
 
     # ------------------------------------------------------------------
     def resume(self, epoch: Optional[int] = None) -> Tuple[TrainState, int]:

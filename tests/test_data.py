@@ -106,3 +106,38 @@ def test_make_loader_synthetic(tiny_model):
     for batch, _ in loader:
         n += 1
     assert n == len(loader) > 0
+
+
+def test_loader_shard_padding_equal_batches(tiny_model):
+    """Unequal per-process batch counts deadlock SPMD collectives; the loader
+    must pad to equal counts (DistributedSampler semantics)."""
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180212", "24h", 24)
+    assert len(ds) % 3 != 0  # non-divisible case
+    counts = []
+    seen = []
+    for shard in range(3):
+        loader = BatchLoader(ds, batch_size=1, shuffle=True, seed=7,
+                             num_shards=3, shard=shard, prefetch=0)
+        n = 0
+        for batch, periods in loader:
+            n += 1
+            seen.append(periods[0][0])
+        counts.append(n)
+    assert len(set(counts)) == 1, counts
+    # padding wraps: every sample appears at least once
+    assert len(set(seen)) == len(ds)
+
+
+def test_prefetch_early_exit_does_not_hang(tiny_model):
+    import threading
+
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180301", "24h", 24)
+    loader = BatchLoader(ds, batch_size=1, prefetch=2)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-iteration
+    import time
+
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
