@@ -60,7 +60,6 @@ class ModelConfig:
     dims: Tuple[int, ...] = (192, 384, 384, 192)
     mlp_ratio: int = 4
     drop_path_max: float = 0.2
-    dropout: float = 0.0
 
     # Numerics
     param_dtype: str = "float32"

@@ -122,6 +122,7 @@ class EarthSpecificBlock(nn.Module):
     heads: int
     drop_path_rate: float
     shifted: bool
+    mlp_ratio: int = 4
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
@@ -136,7 +137,8 @@ class EarthSpecificBlock(nn.Module):
 
         ln1 = LayerNormParams(self.dim, self.param_dtype, name="norm1")()
         ln2 = LayerNormParams(self.dim, self.param_dtype, name="norm2")()
-        mlp = Mlp(self.dim, compute_dtype=self.compute_dtype,
+        mlp = Mlp(self.dim, ratio=self.mlp_ratio,
+                  compute_dtype=self.compute_dtype,
                   param_dtype=self.param_dtype, precision=self.precision,
                   name="mlp")
 
@@ -201,6 +203,7 @@ class EarthSpecificLayer(nn.Module):
     dim: int
     heads: int
     drop_path_rates: Tuple[float, ...]
+    mlp_ratio: int = 4
     remat: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -219,6 +222,7 @@ class EarthSpecificLayer(nn.Module):
                 heads=self.heads,
                 drop_path_rate=self.drop_path_rates[i],
                 shifted=bool(i % 2),
+                mlp_ratio=self.mlp_ratio,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 use_pallas=self.use_pallas,

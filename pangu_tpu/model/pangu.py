@@ -76,6 +76,7 @@ class PanguModel(nn.Module):
                 dim=cfg.dims[i],
                 heads=cfg.heads[i],
                 drop_path_rates=dpr[i],
+                mlp_ratio=cfg.mlp_ratio,
                 remat=remat,
                 compute_dtype=cdt,
                 param_dtype=pdt,
