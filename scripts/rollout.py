@@ -47,6 +47,11 @@ def main() -> None:
     p.add_argument("--weights-24", type=str, default=None)
     p.add_argument("--aggregate", action="store_true",
                    help="also write forecast-hour aggregation CSVs/plots")
+    p.add_argument("--agg-family", default="surface_wind_speed",
+                   help="score family to aggregate (e.g. upper_wind_speed "
+                        "for the reference's calculate_avg_rmse_upper role)")
+    p.add_argument("--agg-column", default=None,
+                   help="column within the family (e.g. 850 for 850hPa)")
     p.add_argument("--score-weights", type=str, default=None,
                    help="score this checkpoint while --weights drives the "
                         "autoregressive state (mixed evaluation)")
@@ -102,7 +107,9 @@ def main() -> None:
                          lead_days=args.lead_days, choose_horizon=rule,
                          score_bundle=score_bundle)
     if args.aggregate:
-        write_aggregates(out_dir, os.path.join(out_dir, "agg"), plot=True)
+        write_aggregates(out_dir, os.path.join(out_dir, "agg"),
+                         family=args.agg_family, column=args.agg_column,
+                         plot=True)
     logger.info("per-init scores under %s", out_dir)
 
 
