@@ -24,6 +24,7 @@ from pangu_tpu.model.attention import (
     EarthAttention3D,
     shift_attention_mask,
 )
+from pangu_tpu.parallel.mesh import TOKEN_SPEC, maybe_shard
 
 _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 _LN_EPS = 1e-5
@@ -115,7 +116,15 @@ class DropPath(nn.Module):
 
 class EarthSpecificBlock(nn.Module):
     """One (optionally shifted) 3D window-attention block
-    (reference models/layers.py:158-299)."""
+    (reference models/layers.py:158-299).
+
+    Operates on the *window-padded* grid (B, Z, Hp, W, C): the enclosing
+    EarthSpecificLayer pads latitude once for the whole stack and crops at
+    the end (the reference pads/crops per block, models/layers.py:178,287).
+    Pad rows are re-zeroed at block entry, which is exactly equivalent to
+    the reference's crop-then-re-pad-with-zeros between blocks — and keeps
+    the lat extent mesh-divisible (186/96/18/12) so spatial sharding of the
+    residual stream survives the whole stage."""
 
     stage: StageGeometry
     dim: int
@@ -132,8 +141,8 @@ class EarthSpecificBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         st = self.stage
         wz, wh, ww = st.window
-        b, z, h, w, c = x.shape
-        assert (z, h, w) == (st.z, st.h, st.w), (x.shape, st)
+        b, z, hp, w, c = x.shape
+        assert (z, hp, w) == (st.z, st.h_pad, st.w), (x.shape, st)
 
         ln1 = LayerNormParams(self.dim, self.param_dtype, name="norm1")()
         ln2 = LayerNormParams(self.dim, self.param_dtype, name="norm2")()
@@ -153,10 +162,15 @@ class EarthSpecificBlock(nn.Module):
             and jax.default_backend() == "tpu"
         )
 
+        # Keep the padded residual stream spatially sharded block-to-block.
+        x = maybe_shard(x, TOKEN_SPEC, tag=f"block:{self.name}")
+        if st.h_pad != st.h:
+            # Re-zero the pad rows (== the reference's crop + re-pad between
+            # blocks): they feed the last lat window's attention, so stale
+            # values from the previous block's residual must not leak in.
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, st.h_pad, 1, 1), 2)
+            x = jnp.where(row < st.h, x, jnp.zeros((), x.dtype))
         shortcut = x
-        # Trailing-only lat pad to the window grid (reference pads (0, 5) at
-        # 181->186 and 91->96, models/layers.py:178,228-229).
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, st.h_pad - h), (0, 0), (0, 0)))
 
         mask = None
         if self.shifted:
@@ -178,12 +192,12 @@ class EarthSpecificBlock(nn.Module):
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
-        x = x[:, :, :h]  # crop the lat pad (reference models/layers.py:287-288)
 
         if fused:
             # x is already shortcut + LN(attn) (kernel epilogue: rolls commute
-            # with per-token ops and pad rows were just cropped); finish with
-            # the fused mlp tail.
+            # with per-token ops; pad rows carry garbage that the next block
+            # re-zeroes and the layer finally crops); finish with the fused
+            # mlp tail.
             return mlp(x, ln=ln2, fused=True)
 
         # Post-norm residuals (reference models/layers.py:296-297).
@@ -212,6 +226,15 @@ class EarthSpecificLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        st = self.stage
+        b, z, h, w, c = x.shape
+        assert (z, h, w) == (st.z, st.h, st.w), (x.shape, st)
+        # Window-pad latitude ONCE for the whole stack (the reference re-pads
+        # per block, models/layers.py:178,228). The padded extent (186/96 at
+        # flagship, 18/12 at tiny) is divisible by 2 and 3, so the 'lat' mesh
+        # axis genuinely shards every block in the stage.
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, st.h_pad - st.h), (0, 0), (0, 0)))
+
         block_cls = EarthSpecificBlock
         if self.remat:
             block_cls = nn.remat(EarthSpecificBlock, static_argnums=(2,))
@@ -229,7 +252,8 @@ class EarthSpecificLayer(nn.Module):
                 precision=self.precision,
                 name=f"block{i}",
             )(x, deterministic)
-        return x
+        # Crop the lat pad (reference models/layers.py:287-288).
+        return x[:, :, : st.h]
 
 
 class DownSample(nn.Module):

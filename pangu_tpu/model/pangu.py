@@ -26,13 +26,14 @@ from pangu_tpu.config import ModelConfig
 from pangu_tpu.geometry import compute_geometry
 from pangu_tpu.model.blocks import DownSample, EarthSpecificLayer, UpSample
 from pangu_tpu.model.embeddings import PatchEmbedding, PatchRecovery
-from pangu_tpu.parallel.mesh import maybe_shard
+from pangu_tpu.parallel.mesh import TOKEN_SPEC, maybe_shard
 
 #: token-grid sharding: batch on 'data', lat/lon of the (B, Z, H, W, C) grid
-#: on the spatial mesh axes (sequence parallelism — SURVEY §5.7). Applied at
-#: stage boundaries; GSPMD propagates through blocks and inserts the halo
-#: exchanges that rolls/windows need.
-_TOKEN_SPEC = P("data", None, "lat", "lon", None)
+#: on the spatial mesh axes (sequence parallelism — SURVEY §5.7). The *real*
+#: lat sharding happens inside EarthSpecificLayer on the window-padded grid
+#: (odd unpadded extents never divide a mesh axis); the stage-boundary
+#: constraints here keep batch/lon layouts pinned between stages.
+_TOKEN_SPEC = TOKEN_SPEC
 
 
 def drop_path_rates(cfg: ModelConfig) -> Tuple[Tuple[float, ...], ...]:

@@ -28,6 +28,13 @@ from pangu_tpu.config import ParallelConfig
 
 AXES = ("data", "lat", "lon")
 
+#: Canonical sharding of the (B, Z, H, W, C) token grid. Only applied to the
+#: *window-padded* grid (H = 186/96 at flagship geometry, 18/12 at tiny):
+#: the unpadded odd latitude extents (181/91/13/7) never divide a spatial
+#: mesh axis, so constraining them would silently degrade to lon-only
+#: sharding. See EarthSpecificLayer for where the pad happens.
+TOKEN_SPEC = P("data", None, "lat", "lon", None)
+
 _local = threading.local()
 
 
@@ -116,11 +123,31 @@ def valid_spec(mesh: Mesh, spec: P, shape) -> P:
     return P(*out)
 
 
-def maybe_shard(x: jax.Array, spec: P) -> jax.Array:
+@contextlib.contextmanager
+def record_shardings(log: Optional[list] = None):
+    """Collect every (tag, shape, resolved_spec) that `maybe_shard` applies
+    while tracing. Constraints resolve at trace time (they are plain Python),
+    so wrapping a `jit(...)` call or `.lower(...)` is enough — tests use this
+    to assert that the lat/lon axes REALLY shard (i.e. `valid_spec` did not
+    silently drop them on a non-divisible extent)."""
+    if log is None:
+        log = []
+    prev = getattr(_local, "record", None)
+    _local.record = log
+    try:
+        yield log
+    finally:
+        _local.record = prev
+
+
+def maybe_shard(x: jax.Array, spec: P, tag: Optional[str] = None) -> jax.Array:
     """Apply a sharding constraint iff a mesh is active (no-op otherwise,
     so single-chip code paths stay annotation-free)."""
     mesh = active_mesh()
     if mesh is None:
         return x
     spec = valid_spec(mesh, spec, x.shape)
+    log = getattr(_local, "record", None)
+    if log is not None:
+        log.append((tag, tuple(x.shape), spec))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

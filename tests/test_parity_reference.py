@@ -164,7 +164,9 @@ def test_block_parity(ref, torch, rng, which, dim, heads, shifted):
         ref_out = blk(
             torch.from_numpy(x_flat), stage.z, stage.h, stage.w, shifted
         ).numpy()
-    got = np.asarray(mine.apply(params, x)).reshape(1, -1, dim)
+    # the block consumes/produces the window-padded grid (layer pads/crops)
+    xp = np.pad(x, ((0, 0), (0, 0), (0, stage.h_pad - stage.h), (0, 0), (0, 0)))
+    got = np.asarray(mine.apply(params, xp))[:, :, : stage.h].reshape(1, -1, dim)
     np.testing.assert_allclose(got, ref_out, atol=ATOL)
 
 

@@ -14,6 +14,7 @@ from pangu_tpu.model import PanguModel
 from pangu_tpu.parallel import (
     activate_mesh,
     make_mesh,
+    record_shardings,
     shard_batch,
     shard_params,
     zero_shard_opt_state,
@@ -124,6 +125,101 @@ def test_sharded_matches_single_device():
             state, b, aux, rng
         )
     np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-5)
+
+
+def _spec_axes(spec):
+    out = set()
+    for s in spec:
+        if s is None:
+            continue
+        out.update((s,) if isinstance(s, str) else tuple(s))
+    return out
+
+
+def _assert_blocks_lat_sharded(log, n_expected_blocks):
+    blocks = [(tag, shape, spec) for tag, shape, spec in log
+              if tag and tag.startswith("block:")]
+    assert len(blocks) == n_expected_blocks, [t for t, _, _ in blocks]
+    for tag, shape, spec in blocks:
+        axes = _spec_axes(spec)
+        assert "lat" in axes and "lon" in axes, (
+            f"{tag} with shape {shape} lost spatial sharding: {spec}"
+        )
+
+
+def test_lat_axis_actually_shards_tiny():
+    """Every block's residual stream must be lat- AND lon-sharded on a
+    (2,2,2) mesh — this fails if valid_spec silently drops the lat axis
+    (round-1 bug: constraints were applied to the odd unpadded extents)."""
+    _need_devices(8)
+    cfg = pangu_tiny()
+    mesh = make_mesh(ParallelConfig(data=2, lat=2, lon=2))
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    opt = make_optimizer(cfg)
+
+    with activate_mesh(mesh):
+        state = init_train_state(model, cfg, aux, opt)
+        b = shard_batch(_tiny_batch(cfg, 2), mesh)
+        with record_shardings() as log:
+            jax.jit(make_train_step(model, cfg, opt)).lower(
+                state, b, aux, jax.random.PRNGKey(0)
+            )
+    _assert_blocks_lat_sharded(log, sum(cfg.model.depths))
+
+
+def test_lat_axis_actually_shards_flagship():
+    """Same assertion at the full 721x1440 geometry, trace-only: params come
+    from eval_shape and the forward is only lowered, never executed."""
+    _need_devices(8)
+    from pangu_tpu.config import ModelConfig, TrainConfig
+
+    m = ModelConfig()
+    cfg_model = m
+    aux = synthetic_aux_constants(cfg_model, TrainConfig())
+    model = PanguModel(cfg_model)
+    upper = jax.ShapeDtypeStruct(
+        (1, m.upper_vars, m.levels, m.lat, m.lon), np.float32
+    )
+    surface = jax.ShapeDtypeStruct((1, m.surface_vars, m.lat, m.lon), np.float32)
+    aux_sds = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), aux
+    )
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), upper, surface, aux_sds)
+
+    mesh = make_mesh(ParallelConfig(data=2, lat=2, lon=2))
+    with activate_mesh(mesh), record_shardings() as log:
+        jax.jit(
+            lambda p, u, s, a: model.apply(p, u, s, a, True)
+        ).lower(params, upper, surface, aux_sds)
+    _assert_blocks_lat_sharded(log, sum(m.depths))
+
+
+def test_spatial_sharded_matches_single_device():
+    """Pure spatial sharding (lat=2, lon=4) must reproduce the single-device
+    step numerically — catches pad-row zeroing bugs under sharding."""
+    _need_devices(8)
+    cfg = pangu_tiny()
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    opt = make_optimizer(cfg)
+    batch = _tiny_batch(cfg, 1)
+    rng = jax.random.PRNGKey(0)
+
+    state1 = init_train_state(model, cfg, aux, opt)
+    _, loss_single = make_train_step(model, cfg, opt)(state1, batch, aux, rng)
+
+    mesh = make_mesh(ParallelConfig(data=1, lat=2, lon=4))
+    with activate_mesh(mesh):
+        state = init_train_state(model, cfg, aux, opt)
+        state = TrainState(
+            shard_params(state.params, mesh),
+            zero_shard_opt_state(state.opt_state, mesh),
+            state.step,
+        )
+        b = shard_batch(batch, mesh)
+        _, loss_sp = jax.jit(make_train_step(model, cfg, opt))(state, b, aux, rng)
+    np.testing.assert_allclose(float(loss_single), float(loss_sp), rtol=1e-5)
 
 
 def test_graft_entry_dryrun():
