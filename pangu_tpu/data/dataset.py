@@ -201,6 +201,7 @@ class Era5Dataset:
     def __init__(self, store, start: str, end: str, freq: str, horizon: int):
         self.store = store
         self.horizon = horizon
+        self.freq = freq
         self.keys: List[datetime] = [
             k.to_pydatetime() for k in pd.date_range(start=start, end=end, freq=freq)
         ]

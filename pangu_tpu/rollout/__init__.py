@@ -5,6 +5,7 @@ from pangu_tpu.rollout.autoregressive import (  # noqa: F401
 from pangu_tpu.rollout.engines import (  # noqa: F401
     ModelBundle,
     hierarchical_forecast,
+    iterative_eval,
     multi_output_rollout,
     single_output_eval,
 )

@@ -17,6 +17,7 @@ Engines:
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from datetime import datetime, timedelta
@@ -35,6 +36,8 @@ from pangu_tpu.eval.evaluate import (
 )
 from pangu_tpu.model import PanguModel
 from pangu_tpu.rollout.autoregressive import make_forecast_step
+
+_log = logging.getLogger("pangu_tpu.rollout")
 
 
 @dataclass
@@ -119,12 +122,23 @@ def multi_output_rollout(
     base = bundles[base_horizon]
     spaces = lead_days * 24 // base_horizon
     key_set = set(dataset.keys)
+    last_key = max(dataset.keys)
 
     for idx in range(len(dataset)):
         upper, surface, _, _, periods = dataset[idx]
         init_str = periods[0]
         init_time = datetime.strptime(init_str, "%Y%m%d%H")
         if init_time.hour != starts_at_hour:
+            continue
+        if init_time + timedelta(hours=base_horizon * spaces) > last_key:
+            # the full rollout window runs past the test range: no ground
+            # truth to score against (the reference crashes here on
+            # keys.index(), inference_multiOutput.py:190-197) — skip the
+            # init loudly rather than emit a truncated CSV dir.
+            _log.warning(
+                "init %s skipped: %d-day rollout extends past test range end %s",
+                init_str, lead_days, last_key.strftime("%Y%m%d%H"),
+            )
             continue
 
         upper, surface = upper[None], surface[None]
@@ -149,10 +163,17 @@ def multi_output_rollout(
             else:
                 u_sc, s_sc = u_out, s_out
 
-            # re-fetch ground truth at `current` from the dataset
-            # (reference inference_multiOutput.py:190-193)
+            # re-fetch ground truth at `current` from the dataset — the
+            # predicted frame and the dataset key must line up exactly
+            # (reference time-alignment assert, inference_multiOutput.py:197)
             if current not in key_set:
-                continue
+                raise ValueError(
+                    f"rollout frame {current:%Y%m%d%H} has no ground truth in "
+                    f"the test range ({min(dataset.keys):%Y%m%d%H}.."
+                    f"{last_key:%Y%m%d%H} @ {dataset.freq}): the frame cadence "
+                    f"(base horizon {base_horizon}h) must divide the dataset "
+                    f"frequency"
+                )
             gt_upper, gt_surface = dataset.store.load(current)
             scores = scorer(u_sc[0], s_sc[0], gt_upper, gt_surface, b.aux)
             _record(rmse_scores, acc_scores, jax.device_get(scores),
@@ -196,6 +217,12 @@ def hierarchical_forecast(
     inference_iterative.py:95-128) and the dict holds lazy loaders' paths.
     """
     lo, hi = hours
+    # normalize shapes at the boundary: frames are stored un-batched
+    upper, surface = np.asarray(upper), np.asarray(surface)
+    if upper.ndim == 5:
+        upper = upper[0]
+    if surface.ndim == 4:
+        surface = surface[0]
     preds: Dict[int, object] = {0: (upper, surface)}
 
     def store(h: int, u, s):
@@ -224,8 +251,7 @@ def hierarchical_forecast(
                 continue
             latest = max(x for x in preds if x <= h - model_h)
             u_in, s_in = load(latest)
-            u, s = b.forecast_step()(b.params, u_in[None] if u_in.ndim == 4 else u_in,
-                                     s_in[None] if s_in.ndim == 3 else s_in, b.aux)
+            u, s = b.forecast_step()(b.params, u_in[None], s_in[None], b.aux)
             store(h, np.asarray(u)[0], np.asarray(s)[0])
 
     run(24, [h for h in range(lo, hi + 1) if h % 24 == 0])
@@ -237,3 +263,81 @@ def hierarchical_forecast(
         run(1, list(range(lo, hi + 1)))
 
     return {h: load(h) for h in sorted(preds) if lo <= h <= hi}
+
+
+def iterative_eval(
+    bundles: Dict[int, ModelBundle],
+    dataset,
+    cfg: PanguConfig,
+    res_path: str,
+    hours: Tuple[int, int] = (24, 48),
+    starts_at_hour: int = 0,
+    spill_dir: Optional[str] = None,
+) -> None:
+    """Run the greedy ladder from every qualifying init in the dataset and
+    score each produced hour against ground truth; per-init-time CSV dirs
+    (the scoring role the reference leaves to the per-frame CSVs of
+    inference_multiOutput.py, applied to the inference_iterative.py ladder).
+
+    Frames are scored at every hour the dataset can verify; hours the ladder
+    produced but the test range has no key for (e.g. hourly frames against a
+    24h-cadence dataset) are reported once per run, not silently dropped.
+    """
+    scorer = jax.jit(make_field_scorer(cfg))
+    key_set = set(dataset.keys)
+    last_key = max(dataset.keys)
+    lo, hi = hours
+    unverifiable: set = set()
+    n_inits = 0
+
+    for idx in range(len(dataset)):
+        upper, surface, _, _, periods = dataset[idx]
+        init_str = periods[0]
+        init_time = datetime.strptime(init_str, "%Y%m%d%H")
+        if init_time.hour != starts_at_hour:
+            continue
+        if init_time + timedelta(hours=hi) > last_key:
+            _log.warning(
+                "init %s skipped: ladder window +%dh extends past test "
+                "range end %s", init_str, hi, last_key.strftime("%Y%m%d%H"),
+            )
+            continue
+        n_inits += 1
+
+        preds = hierarchical_forecast(
+            bundles, init_time, upper, surface,
+            spill_dir=os.path.join(spill_dir, init_str) if spill_dir else None,
+            hours=hours,
+        )
+
+        rmse_scores, acc_scores = _new_score_dicts()
+        scored = 0
+        for h, (u, s) in preds.items():
+            current = init_time + timedelta(hours=h)
+            if current not in key_set:
+                unverifiable.add(h)
+                continue
+            gt_upper, gt_surface = dataset.store.load(current)
+            # one scoring aux for the whole run (statistics/climatology are
+            # shared across horizon models; reference scores with the single
+            # cfg-level statistics)
+            aux = bundles[max(bundles)].aux
+            scores = scorer(u, s, gt_upper, gt_surface, aux)
+            _record(rmse_scores, acc_scores, jax.device_get(scores),
+                    current.strftime("%Y%m%d%H"))
+            scored += 1
+        if scored == 0:
+            raise ValueError(
+                f"no ladder frame of init {init_str} aligns with a dataset "
+                f"key ({dataset.freq} cadence): nothing to score"
+            )
+        write_score_tables(os.path.join(res_path, init_str, "csv"),
+                           rmse_scores, acc_scores, cfg)
+
+    if unverifiable:
+        _log.warning(
+            "ladder hours %s have no ground truth at the %s test cadence and "
+            "were not scored", sorted(unverifiable), dataset.freq,
+        )
+    if n_inits == 0:
+        raise ValueError("no qualifying init times in the test range")

@@ -8,17 +8,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from datetime import datetime
-
-import numpy as np
-
 from pangu_tpu.aux import load_aux_constants
 from pangu_tpu.cli import base_parser, build_config, load_model_and_params
 from pangu_tpu.data import make_loader
-from pangu_tpu.data.dataset import Era5Dataset, make_store
+from pangu_tpu.data.dataset import Era5Dataset, make_store, _freq_hours
 from pangu_tpu.rollout import (
     ModelBundle,
-    hierarchical_forecast,
+    iterative_eval,
     multi_output_rollout,
     single_output_eval,
 )
@@ -67,8 +63,13 @@ def main() -> None:
 
     if args.mode == "single":
         loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
-        single_output_eval(base, loader, cfg, out_dir)
-        logger.info("scores under %s/csv", out_dir)
+        # autoregressive depth: the target is horizon hours out, reached in
+        # test-frequency-sized model applications (reference
+        # inference_singleOutput.py:141-153, spaces = h // freq)
+        steps = max(1, cfg.horizon // _freq_hours(cfg.data.test_freq))
+        single_output_eval(base, loader, cfg, out_dir, steps=steps)
+        logger.info("scores under %s/csv (%d autoregressive steps)",
+                    out_dir, steps)
         return
 
     store = make_store(cfg.data, cfg.model)
@@ -89,11 +90,13 @@ def main() -> None:
                            "reusing the base model for them", missing)
             for h in missing:
                 bundles[h] = base
-        u, s, *_ = dataset[0]
-        init = datetime.strptime(dataset[0][4][0], "%Y%m%d%H")
-        preds = hierarchical_forecast(bundles, init, u, s,
-                                      spill_dir=os.path.join(out_dir, "spill"))
-        logger.info("hierarchical predictions for hours %s", sorted(preds))
+        iterative_eval(bundles, dataset, cfg, out_dir,
+                       spill_dir=os.path.join(out_dir, "spill"))
+        if args.aggregate:
+            write_aggregates(out_dir, os.path.join(out_dir, "agg"),
+                             family=args.agg_family, column=args.agg_column,
+                             plot=True)
+        logger.info("per-init ladder scores under %s", out_dir)
         return
 
     rule = mix24_rule(cfg.horizon) if args.mode == "mix24" else None

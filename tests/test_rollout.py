@@ -15,6 +15,7 @@ from pangu_tpu.model import PanguModel
 from pangu_tpu.rollout import (
     ModelBundle,
     hierarchical_forecast,
+    iterative_eval,
     multi_output_rollout,
     single_output_eval,
 )
@@ -88,6 +89,80 @@ def test_multi_output_rollout_and_aggregate(setup, tmp_path):
     assert set(agg.columns) == {"forecast_hour", "mean", "std", "count"}
     assert agg["forecast_hour"].tolist() == [24, 48, 72]
     assert os.path.exists(tmp_path / "agg" / "rmse_surface_wind_speed_by_hour.png")
+
+
+def test_single_output_eval_multi_step(setup, tmp_path):
+    """steps = horizon // test_freq autoregressive applications (reference
+    inference_singleOutput.py:141-153): 24h horizon sampled at 12h -> 2 steps,
+    and the scored frame is the 2-step forecast, not the 1-step one."""
+    cfg, model, params, aux, *_ = setup
+    cfg = cfg.replace(data=DataConfig(
+        test_start="20180101", test_end="20180103", test_freq="12h",
+        prefetch=0,
+    ))
+    bundle = ModelBundle(model, params, aux, cfg.horizon)
+
+    res1, res2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
+    single_output_eval(bundle, loader, cfg, res1, steps=1)
+    loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
+    single_output_eval(bundle, loader, cfg, res2,
+                       steps=cfg.horizon // 12)
+
+    import pandas as pd
+    a = pd.read_csv(os.path.join(res1, "csv", "rmse_surface.csv"), index_col=0)
+    b = pd.read_csv(os.path.join(res2, "csv", "rmse_surface.csv"), index_col=0)
+    assert list(a.index) == list(b.index)
+    assert not np.allclose(a.values, b.values)
+
+
+def test_multi_output_rollout_strict_alignment(setup, tmp_path):
+    """Frames that fall between dataset keys raise instead of silently
+    truncating the CSVs (reference alignment assert,
+    inference_multiOutput.py:197); tail inits whose window runs past the
+    range end are skipped with a warning, not scored partially."""
+    cfg, model, params, aux, *_ = setup
+    store = SyntheticStore(cfg.model)
+    bundles = {24: ModelBundle(model, params, aux, 24)}
+
+    # 48h-cadence dataset: rollout frames at +24h have no ground truth
+    ds_sparse = Era5Dataset(store, "20180101", "20180109", "48h", 24)
+    with pytest.raises(ValueError, match="no ground truth"):
+        multi_output_rollout(bundles, ds_sparse, cfg,
+                             str(tmp_path / "sparse"), base_horizon=24,
+                             lead_days=2)
+
+    # tail init (0104) would need GT at 0107 beyond the range end 0106: it
+    # must be skipped entirely (no partial CSV dir), earlier inits scored
+    ds = Era5Dataset(store, "20180101", "20180106", "24h", 24)
+    res = str(tmp_path / "tail")
+    multi_output_rollout(bundles, ds, cfg, res, base_horizon=24, lead_days=3)
+    init_dirs = sorted(os.listdir(res))
+    assert init_dirs == ["2018010100", "2018010200", "2018010300"]
+    import pandas as pd
+    first = pd.read_csv(os.path.join(res, init_dirs[0], "csv",
+                                     "rmse_surface.csv"), index_col=0)
+    assert len(first) == 3  # all three lead frames scored, none dropped
+
+
+def test_iterative_eval_scores_all_inits(setup, tmp_path):
+    """--mode iterative parity fix: every qualifying init is rolled through
+    the ladder and hours 24..48 are scored against GT (2+ inits)."""
+    cfg, model, params, aux, *_ = setup
+    store = SyntheticStore(cfg.model)
+    ds = Era5Dataset(store, "20180101", "20180105", "24h", 24)
+    bundles = {h: ModelBundle(model, params, aux, h) for h in (24, 6)}
+
+    res = str(tmp_path / "iter")
+    iterative_eval(bundles, ds, cfg, res)
+
+    init_dirs = sorted(d for d in os.listdir(res) if d.startswith("2018"))
+    assert len(init_dirs) >= 2
+    import pandas as pd
+    t = pd.read_csv(os.path.join(res, init_dirs[0], "csv",
+                                 "rmse_upper_z.csv"), index_col=0)
+    # 24h-cadence GT verifies hours 24 and 48 of the ladder
+    assert len(t) == 2
 
 
 def test_mix24_rule():
