@@ -1,0 +1,283 @@
+"""ONNX weight import without the onnx package and without a name-map CSV.
+
+Synthesizes a structurally-faithful tiny-geometry ONNX binary (the node/
+initializer layout of the official Pangu-Weather exports: readable
+``b1.aN.*`` names for Conv/LayerNorm params, anonymous ``onnx::MatMul_N`` /
+``onnx::Add_N`` ids for linear kernels and earth biases, Constant nodes for
+the normalization statistics — reference models/onnx2torch.py:36-89,
+keys_all.csv) and round-trips it through the wire decoder, the structural
+name-map derivation and the full conversion into a params tree the live
+model accepts."""
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+from pangu_tpu.config import pangu_tiny
+from pangu_tpu.geometry import compute_geometry
+from pangu_tpu.interop import onnx_wire as wire
+from pangu_tpu.interop.onnx_import import (
+    convert_onnx_checkpoint,
+    derive_name_map,
+    params_from_onnx_weights,
+    read_onnx,
+)
+from pangu_tpu.interop.torch_import import (
+    _t_bias_squeeze,
+    _t_conv1d,
+    _t_linear,
+    reference_key_map,
+)
+
+
+def build_synthetic_onnx(cfg, rng, path, fused_ln: bool = False):
+    """Emit a graph with the official export's structure on tiny geometry.
+
+    ``fused_ln`` switches LayerNorms between the Mul+Add decomposition and
+    single LayerNormalization nodes (both appear in the wild; the matcher
+    must handle either). Returns {onnx_name: array} ground truth and the
+    {torch_name: onnx_name} map the derivation must reproduce.
+    """
+    geo = compute_geometry(cfg)
+    t = geo.outer.tokens_per_window
+    inits = {}
+    nodes = []
+    truth_map = {}
+    tid = itertools.count(1000)
+    aid = itertools.count(1)  # readable b1.aN module counter
+    cur = ["input"]
+
+    def tname():
+        return f"t{next(tid)}"
+
+    def add_init(name, shape):
+        inits[name] = rng.standard_normal(shape).astype(np.float32)
+        return name
+
+    def conv(torch_w, torch_b, out_ch, in_ch):
+        a = next(aid)
+        w = add_init(f"b1.a{a}.weight", (out_ch, in_ch, 1))
+        b = add_init(f"b1.a{a}.bias", (out_ch,))
+        o = tname()
+        nodes.append(wire.encode_node("Conv", [cur[0], w, b], [o]))
+        cur[0] = o
+        truth_map[torch_w] = w
+        truth_map[torch_b] = b
+
+    def matmul(torch_w, shape):
+        w = add_init(f"onnx::MatMul_{next(tid)}", shape)
+        o = tname()
+        nodes.append(wire.encode_node("MatMul", [cur[0], w], [o]))
+        cur[0] = o
+        truth_map[torch_w] = w
+
+    def bias_add(torch_b, shape, readable):
+        b = add_init(readable, shape)
+        o = tname()
+        nodes.append(wire.encode_node("Add", [cur[0], b], [o]))
+        cur[0] = o
+        truth_map[torch_b] = b
+
+    def tensor_add(torch_b, shape):
+        b = add_init(f"onnx::Add_{next(tid)}", shape)
+        o = tname()
+        nodes.append(wire.encode_node("Add", [cur[0], b], [o]))
+        cur[0] = o
+        truth_map[torch_b] = b
+
+    def layer_norm(torch_prefix, dim):
+        a = next(aid)
+        s = add_init(f"b1.a{a}.weight", (dim,))
+        b = add_init(f"b1.a{a}.bias", (dim,))
+        if fused_ln:
+            o = tname()
+            nodes.append(wire.encode_node("LayerNormalization",
+                                          [cur[0], s, b], [o]))
+            cur[0] = o
+        else:
+            o1, o2 = tname(), tname()
+            nodes.append(wire.encode_node("Mul", [cur[0], s], [o1]))
+            nodes.append(wire.encode_node("Add", [o1, b], [o2]))
+            cur[0] = o2
+        truth_map[torch_prefix + ".weight"] = s
+        truth_map[torch_prefix + ".bias"] = b
+
+    def block(i, j, shifted):
+        ref = f"layers.EarthSpecificLayer{i}.blocks.EarthSpecificBlock{j}."
+        c = cfg.dims[i]
+        heads = cfg.heads[i]
+        nt = (geo.outer if i in (0, 3) else geo.inner).n_type_windows
+        a = next(aid)
+        matmul(ref + "attention.linear1.weight", (c, 3 * c))
+        bias_add(ref + "attention.linear1.bias", (3 * c,), f"b1.a{a}.bias")
+        tensor_add(ref + "attention.earth_specific_bias",
+                   (1, nt, heads, t, t))
+        if shifted:
+            # shift mask arrives via a Constant node, NOT an initializer —
+            # the matcher must not confuse it with the earth bias
+            m = tname()
+            nodes.append(wire.encode_node(
+                "Constant", [], [m], name=f"/b1/mask_{i}_{j}",
+                tensor=np.zeros((nt, t, t), np.float32)))
+            o = tname()
+            nodes.append(wire.encode_node("Add", [cur[0], m], [o]))
+            cur[0] = o
+        o = tname()
+        nodes.append(wire.encode_node("Softmax", [cur[0]], [o]))
+        cur[0] = o
+        a = next(aid)
+        matmul(ref + "attention.linear2.weight", (c, c))
+        bias_add(ref + "attention.linear2.bias", (c,), f"b1.a{a}.bias")
+        layer_norm(ref + "norm1", c)
+        a = next(aid)
+        matmul(ref + "linear.linear1.weight", (c, cfg.mlp_ratio * c))
+        bias_add(ref + "linear.linear1.bias", (cfg.mlp_ratio * c,),
+                 f"b1.a{a}.fc1.bias")
+        o = tname()
+        nodes.append(wire.encode_node("Erf", [cur[0]], [o]))
+        cur[0] = o
+        matmul(ref + "linear.linear2.weight", (cfg.mlp_ratio * c, c))
+        bias_add(ref + "linear.linear2.bias", (c,), f"b1.a{a}.fc2.bias")
+        layer_norm(ref + "norm2", c)
+
+    # normalization statistics / masks as named Constant nodes
+    # (reference models/onnx2torch.py:60-89)
+    for cname, shape in [("/b1/Constant_9", (cfg.upper_vars, 1, 1, 1)),
+                         ("/b1/Constant_10", (cfg.upper_vars, 1, 1, 1)),
+                         ("/b1/Constant_11", (cfg.surface_vars, 1, 1)),
+                         ("/b1/Constant_12", (cfg.surface_vars, 1, 1)),
+                         ("/b1/Constant_44", (3, cfg.lat, cfg.lon)),
+                         ("/b1/Constant_17", (1, cfg.levels, cfg.lat, cfg.lon))]:
+        o = tname()
+        nodes.append(wire.encode_node(
+            "Constant", [], [o], name=cname,
+            tensor=rng.standard_normal(shape).astype(np.float32)))
+
+    conv("_input_layer.conv.weight", "_input_layer.conv.bias",
+         cfg.dims[0], cfg.embed_upper_channels)
+    conv("_input_layer.conv_surface.weight", "_input_layer.conv_surface.bias",
+         cfg.dims[0], cfg.embed_surface_channels)
+    for j in range(cfg.depths[0]):
+        block(0, j, bool(j % 2))
+    layer_norm("downsample.norm", 4 * cfg.dims[0])
+    matmul("downsample.linear.weight", (4 * cfg.dims[0], cfg.dims[1]))
+    for i in (1, 2):
+        for j in range(cfg.depths[i]):
+            block(i, j, bool(j % 2))
+    matmul("upsample.linear1.weight", (cfg.dims[2], 4 * cfg.dims[3]))
+    layer_norm("upsample.norm", cfg.dims[3])
+    matmul("upsample.linear2.weight", (cfg.dims[3], cfg.dims[3]))
+    for j in range(cfg.depths[3]):
+        block(3, j, bool(j % 2))
+    cin = cfg.dims[3] + cfg.dims[0]
+    conv("_output_layer.conv.weight", "_output_layer.conv.bias",
+         cfg.recovery_upper_channels, cin)
+    conv("_output_layer.conv_surface.weight", "_output_layer.conv_surface.bias",
+         cfg.recovery_surface_channels, cin)
+
+    with open(path, "wb") as f:
+        f.write(wire.encode_model(nodes, inits))
+    return inits, truth_map
+
+
+@pytest.fixture(scope="module")
+def synthetic(tmp_path_factory):
+    cfg = pangu_tiny().model
+    rng = np.random.default_rng(3)
+    path = str(tmp_path_factory.mktemp("onnx") / "pangu_tiny.onnx")
+    inits, truth_map = build_synthetic_onnx(cfg, rng, path)
+    return cfg, path, inits, truth_map
+
+
+def test_wire_roundtrip(synthetic):
+    cfg, path, inits, _ = synthetic
+    g = wire.load_graph(path)
+    assert set(g.initializers) == set(inits)
+    for k, v in inits.items():
+        np.testing.assert_array_equal(g.initializers[k], v)
+    consts = g.constants
+    assert "/b1/Constant_9" in consts and "/b1/Constant_44" in consts
+    assert consts["/b1/Constant_44"].shape == (3, cfg.lat, cfg.lon)
+
+
+@pytest.mark.parametrize("fused_ln", [False, True])
+def test_derive_name_map_complete(tmp_path, fused_ln):
+    cfg = pangu_tiny().model
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "g.onnx")
+    _, truth_map = build_synthetic_onnx(cfg, rng, path, fused_ln=fused_ln)
+    weights, _, nodes = read_onnx(path)
+    derived = derive_name_map(cfg, nodes, {k: v.shape for k, v in weights.items()})
+    assert derived == truth_map
+
+
+def test_params_match_transforms(synthetic):
+    cfg, path, inits, truth_map = synthetic
+    weights, _, nodes = read_onnx(path)
+    derived = derive_name_map(cfg, nodes, {k: v.shape for k, v in weights.items()})
+    params = params_from_onnx_weights(cfg, weights, derived)
+    for torch_key, tree_path, tr in reference_key_map(cfg):
+        node = params["params"]
+        for p in tree_path:
+            node = node[p]
+        w = inits[truth_map[torch_key]]
+        if tr is _t_linear:
+            expect = w  # ONNX MatMul layout == Dense layout
+        elif tr is _t_conv1d:
+            expect = w[:, :, 0].T
+        elif tr is _t_bias_squeeze:
+            expect = w[0]
+        else:
+            expect = w
+        np.testing.assert_array_equal(np.asarray(node), expect, err_msg=torch_key)
+
+
+def test_convert_checkpoint_end_to_end(synthetic, tmp_path):
+    """convert_onnx_checkpoint with NO name map -> params the live model
+    accepts, plus the aux .npy files (reference onnx2torch.py acceptance)."""
+    import jax
+
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_tiny as tiny_cfg
+    from pangu_tpu.interop.npz_io import load_params_npz
+    from pangu_tpu.model import PanguModel
+
+    cfg, path, *_ = synthetic
+    out = str(tmp_path / "params.npz")
+    aux_dir = str(tmp_path / "aux")
+    map_out = str(tmp_path / "derived_map.csv")
+    convert_onnx_checkpoint(cfg, path, None, out, aux_dir, horizon=24,
+                            name_map_out=map_out)
+    assert os.path.exists(os.path.join(aux_dir, "upper_mean.npy"))
+    assert os.path.exists(os.path.join(aux_dir, "constantMask24.npy"))
+    assert sum(1 for _ in open(map_out)) == len(reference_key_map(cfg)) + 1
+
+    full = tiny_cfg()
+    params = load_params_npz(out)
+    aux = synthetic_aux_constants(full.model, full.train)
+    model = PanguModel(full.model)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((1, cfg.upper_vars, cfg.levels, cfg.lat,
+                             cfg.lon)).astype(np.float32)
+    s = rng.standard_normal((1, cfg.surface_vars, cfg.lat,
+                             cfg.lon)).astype(np.float32)
+    ou, os_ = model.apply(params, u, s, aux, True)
+    assert np.isfinite(np.asarray(ou)).all()
+    # converted params are real: the init tree has the same structure
+    init = model.init(jax.random.PRNGKey(0), u, s, aux)
+    assert (jax.tree_util.tree_structure(init)
+            == jax.tree_util.tree_structure(params))
+
+
+def test_derive_rejects_wrong_geometry(tmp_path):
+    """A graph from a different geometry fails loudly, not silently."""
+    cfg = pangu_tiny().model
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "g.onnx")
+    build_synthetic_onnx(cfg, rng, path)
+    weights, _, nodes = read_onnx(path)
+    wrong = pangu_tiny(dims=(24, 48, 48, 24)).model
+    with pytest.raises(ValueError, match="could not locate"):
+        derive_name_map(wrong, nodes, {k: v.shape for k, v in weights.items()})
