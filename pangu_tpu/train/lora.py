@@ -143,6 +143,21 @@ def make_lora_train_step(
     return step
 
 
+def make_lora_eval_step(
+    model, cfg, base_params: Any, lora_cfg: LoraConfig
+) -> Callable:
+    """Validation-loss step over the LoRA tree: eval(trainable, batch, aux)
+    -> loss with merged effective params (so the Trainer's val / early-stop /
+    best-model machinery applies unchanged to LoRA runs)."""
+    from pangu_tpu.train.step import loss_fn
+
+    def step(trainable, batch, aux):
+        params = merge_params(base_params, trainable, lora_cfg)
+        return loss_fn(model, params, batch, aux, cfg, deterministic=True)
+
+    return step
+
+
 def changed_param_report(base_params: Any, merged: Any, atol: float = 0.0) -> List[str]:
     """Names of params that differ after finetuning — the reference prints
     this diff vs a deepcopy of the base model (finetune/lora_tune.py:182-248)."""

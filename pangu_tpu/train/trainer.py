@@ -31,6 +31,35 @@ from pangu_tpu.train.step import (
 from pangu_tpu.utils.logger import get_logger
 
 
+def sharded_val_stats(
+    eval_step, params, val_loader, aux, index: int, count: int
+) -> Tuple[float, int]:
+    """(loss_sum, n_batches) of this process's round-robin share of the val
+    set. Each host evaluates only every ``count``-th batch instead of the
+    whole loader (the reference runs the full val loop on rank 0 only,
+    models/pangu_sample.py:278-327; here the work is split instead)."""
+    loss_sum, n = 0.0, 0
+    for i, (batch, _periods) in enumerate(val_loader):
+        if count > 1 and i % count != index:
+            continue
+        loss_sum += float(eval_step(params, batch, aux))
+        n += 1
+    return loss_sum, n
+
+
+def _global_val_loss(loss_sum: float, n: int) -> float:
+    """Aggregate per-process validation sums across hosts."""
+    if jax.process_count() == 1:
+        return loss_sum / max(1, n)
+    from jax.experimental import multihost_utils
+
+    totals = multihost_utils.process_allgather(
+        jnp.asarray([loss_sum, float(n)])
+    )
+    total = np.asarray(totals).reshape(-1, 2).sum(axis=0)
+    return float(total[0]) / max(1.0, float(total[1]))
+
+
 def init_train_state(
     model: PanguModel,
     cfg: PanguConfig,
@@ -50,6 +79,13 @@ def init_train_state(
 
 
 class Trainer:
+    """One engine for full finetuning AND parameter-efficient (LoRA) tuning:
+    pass ``train_step_fn``/``eval_step_fn`` built over a different trainable
+    tree (e.g. train.lora.make_lora_train_step) and every feature — val /
+    early-stop / best-model / checkpoint-resume — applies to it, the way the
+    reference routes LoRA through the same train() engine
+    (finetune/lora_tune.py:250 -> models/pangu_sample.py:278-381)."""
+
     def __init__(
         self,
         cfg: PanguConfig,
@@ -61,7 +97,13 @@ class Trainer:
         steps_per_epoch: int = 1,
         jit: bool = True,
         profile_dir: Optional[str] = None,
+        train_step_fn=None,
+        eval_step_fn=None,
+        optimizer=None,
     ):
+        """``train_step_fn`` is a builder ``optimizer -> step`` (so a custom
+        trainable tree shares the Trainer's schedule-bearing optimizer);
+        ``eval_step_fn`` is the eval step itself."""
         #: when set, epoch 1 is captured with jax.profiler into this dir
         self.profile_dir = profile_dir
         self.cfg = cfg
@@ -80,9 +122,10 @@ class Trainer:
         self.out_dir = out_dir
         self.writer = writer
         self.logger = logger or get_logger("pangu_tpu.train")
-        self.optimizer = make_optimizer(cfg, steps_per_epoch)
-        train_step = make_train_step(model, cfg, self.optimizer)
-        eval_step = make_eval_step(model, cfg)
+        self.optimizer = optimizer or make_optimizer(cfg, steps_per_epoch)
+        train_step = (train_step_fn(self.optimizer) if train_step_fn
+                      else make_train_step(model, cfg, self.optimizer))
+        eval_step = eval_step_fn or make_eval_step(model, cfg)
         self.train_step = jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
         self.eval_step = jax.jit(eval_step) if jit else eval_step
 
@@ -150,13 +193,14 @@ class Trainer:
                 ckpt.save_train_state(f"{self.out_dir}/models", epoch, state)
 
             if val_loader is not None and epoch % cfg.train.val_interval == 0:
-                val_loss, n_val = 0.0, 0
-                for batch, _periods in val_loader:
-                    val_loss += float(self.eval_step(state.params, batch, self.aux))
-                    n_val += 1
-                val_loss /= max(1, n_val)
-                self.logger.info("Validate at Epoch %d : %.6f", epoch, val_loss)
-                if self.writer is not None:
+                loss_sum, n_val = sharded_val_stats(
+                    self.eval_step, state.params, val_loader, self.aux,
+                    jax.process_index(), jax.process_count(),
+                )
+                val_loss = _global_val_loss(loss_sum, n_val)
+                if is_main:
+                    self.logger.info("Validate at Epoch %d : %.6f", epoch, val_loss)
+                if self.writer is not None and is_main:
                     self.writer.add_scalars(
                         "Loss", {"train": epoch_loss, "val": val_loss}, epoch
                     )
@@ -179,12 +223,20 @@ class Trainer:
         return (best_params if best_params is not None else state.params), state
 
     # ------------------------------------------------------------------
-    def resume(self, epoch: Optional[int] = None) -> Tuple[TrainState, int]:
-        """Restore a train_{epoch} checkpoint (latest if epoch is None)."""
+    def resume(
+        self, epoch: Optional[int] = None,
+        template: Optional[TrainState] = None,
+    ) -> Tuple[TrainState, int]:
+        """Restore a train_{epoch} checkpoint (latest if epoch is None).
+
+        ``template`` supplies the state tree shape when the trainable tree is
+        not the full model (e.g. a LoRA tree)."""
         d = f"{self.out_dir}/models"
         epoch = epoch if epoch is not None else ckpt.latest_epoch(d)
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {d}")
-        template = init_train_state(self.model, self.cfg, self.aux, self.optimizer)
+        if template is None:
+            template = init_train_state(self.model, self.cfg, self.aux,
+                                        self.optimizer)
         state, saved_epoch = ckpt.restore_train_state(d, epoch, template)
         return state, saved_epoch + 1

@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""LoRA finetuning entry point (reference finetune/lora_tune.py)."""
+"""LoRA finetuning entry point (reference finetune/lora_tune.py).
+
+Routes the LoRA tree through the SAME Trainer as full finetuning —
+validation, early stopping, best-model tracking and checkpoint-resume all
+apply (the reference routes LoRA through its shared train() engine,
+finetune/lora_tune.py:250 -> models/pangu_sample.py:278-381).
+"""
 
 import os
 import sys
@@ -8,7 +14,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pangu_tpu.aux import load_aux_constants
 from pangu_tpu.cli import base_parser, build_config, load_model_and_params
@@ -21,10 +26,12 @@ from pangu_tpu.train.lora import (
     changed_param_report,
     count_trainable,
     init_lora_params,
+    make_lora_eval_step,
     make_lora_train_step,
     merge_params,
 )
-from pangu_tpu.train.step import TrainState, make_optimizer
+from pangu_tpu.train.step import TrainState
+from pangu_tpu.train.trainer import Trainer
 from pangu_tpu.utils.logger import get_logger
 from pangu_tpu.utils.summary import param_count
 
@@ -34,8 +41,10 @@ def main() -> None:
     p.add_argument("--rank", type=int, default=16)
     p.add_argument("--alpha", type=float, default=16.0)
     p.add_argument("--only-test", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest train_{n} LoRA checkpoint")
     p.add_argument("--lora-weights", type=str, default=None,
-                   help="previously saved lora_{n}.npz trainable tree")
+                   help="previously saved LoRA trainable tree (.npz)")
     args = p.parse_args()
 
     distributed_init()
@@ -59,29 +68,44 @@ def main() -> None:
         100.0 * count_trainable(trainable) / param_count(base_params),
     )
 
+    writer = None
+    if is_main():
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(out_dir, "writer"))
+        except ImportError:
+            pass
+
     if not args.only_test:
-        optimizer = make_optimizer(cfg)
-        step = jax.jit(make_lora_train_step(model, cfg, optimizer,
-                                            base_params, lcfg))
-        state = TrainState(trainable, optimizer.init(trainable),
+        per_host_batch = max(1, cfg.train.batch_size // jax.process_count())
+        train_loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon,
+                                   per_host_batch,
+                                   num_shards=jax.process_count(),
+                                   shard=jax.process_index())
+        val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1)
+
+        trainer = Trainer(
+            cfg, model, aux, out_dir, writer=writer, logger=logger,
+            steps_per_epoch=len(train_loader),
+            train_step_fn=lambda opt: make_lora_train_step(
+                model, cfg, opt, base_params, lcfg),
+            eval_step_fn=make_lora_eval_step(model, cfg, base_params, lcfg),
+        )
+
+        state = TrainState(trainable, trainer.optimizer.init(trainable),
                            jnp.zeros((), jnp.int32))
-        loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon,
-                             max(1, cfg.train.batch_size // jax.process_count()),
-                             num_shards=jax.process_count(),
-                             shard=jax.process_index())
-        rng = jax.random.PRNGKey(cfg.train.seed)
-        for epoch in range(1, cfg.train.epochs + 1):
-            total, nb = 0.0, 0
-            for batch, _ in loader:
-                rng, r = jax.random.split(rng)
-                state, loss = step(state, batch, aux, r)
-                total += float(loss)
-                nb += 1
-            logger.info("Epoch %d: loss=%.6f", epoch, total / max(1, nb))
-            if is_main() and epoch % cfg.train.save_interval == 0:
-                save_params_npz(os.path.join(out_dir, f"lora_{epoch}.npz"),
-                                state.params)
-        trainable = state.params
+        start_epoch = 1
+        if args.resume:
+            state, start_epoch = trainer.resume(template=state)
+            logger.info("resumed at epoch %d", start_epoch)
+
+        best_trainable, state = trainer.fit(train_loader, val_loader,
+                                            start_epoch=start_epoch,
+                                            state=state)
+        trainable = best_trainable
+        if is_main():
+            save_params_npz(os.path.join(out_dir, "lora_best.npz"), trainable)
 
     merged = merge_params(base_params, trainable, lcfg)
     if is_main():

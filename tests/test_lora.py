@@ -14,6 +14,7 @@ from pangu_tpu.train.lora import (
     count_trainable,
     init_lora_params,
     lora_target_paths,
+    make_lora_eval_step,
     make_lora_train_step,
     merge_params,
 )
@@ -92,3 +93,74 @@ def test_lora_training_moves_only_targets(setup):
     assert not any("attn/qkv/bias" in c for c in changed)
     # full-train subtrees did move
     assert any(c.startswith("params/patch_recovery") for c in changed)
+
+
+def test_lora_through_trainer_early_stop_and_best(setup, tmp_path):
+    """LoRA routed through the full Trainer (reference
+    finetune/lora_tune.py:250 -> pangu_sample.py:278-381): validation,
+    early stopping, best-model tracking and checkpoint-resume all apply to
+    the LoRA tree."""
+    import dataclasses
+
+    from pangu_tpu.train.trainer import Trainer
+
+    cfg, model, params, aux, *_ = setup
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, lr=1e-3, epochs=6, early_stop=2, val_interval=1,
+            save_interval=1,
+        ),
+        data=DataConfig(train_start="20180101", train_end="20180104",
+                        train_freq="24h", val_start="20180105",
+                        val_end="20180108", val_freq="24h", prefetch=0),
+    )
+    lcfg = LoraConfig()
+    trainable = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+
+    out_dir = str(tmp_path / "lora")
+    trainer = Trainer(
+        cfg, model, aux, out_dir, steps_per_epoch=2,
+        train_step_fn=lambda opt: make_lora_train_step(
+            model, cfg, opt, params, lcfg),
+        eval_step_fn=make_lora_eval_step(model, cfg, params, lcfg),
+    )
+    state = TrainState(trainable, trainer.optimizer.init(trainable),
+                       jnp.zeros((), jnp.int32))
+
+    train_loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1)
+    val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1)
+    best, final_state = trainer.fit(train_loader, val_loader, state=state)
+
+    # best params are a LoRA tree, not the full model tree
+    assert set(best) == {"lora", "full"}
+    # checkpoints of the LoRA tree were written and resume round-trips them
+    resumed, next_epoch = trainer.resume(
+        template=TrainState(trainable, trainer.optimizer.init(trainable),
+                            jnp.zeros((), jnp.int32)))
+    assert next_epoch >= 2
+    assert set(resumed.params) == {"lora", "full"}
+    # merged best evaluates finitely
+    ev = make_lora_eval_step(model, cfg, params, lcfg)
+    batch, _ = next(iter(make_loader(cfg.data, cfg.model, "val",
+                                     cfg.horizon, 1)))
+    assert np.isfinite(float(ev(best, batch, aux)))
+
+
+def test_sharded_val_stats_partition():
+    """Round-robin val sharding: shards partition the loader exactly and the
+    aggregate equals the unsharded mean (multi-host val de-duplication)."""
+    from pangu_tpu.train.trainer import sharded_val_stats
+
+    losses = [1.0, 2.0, 3.0, 4.0, 5.0]
+    loader = [((i, None), None) for i in range(5)]
+
+    def eval_step(params, batch, aux):
+        return losses[batch[0]]
+
+    full_sum, full_n = sharded_val_stats(eval_step, None, loader, None, 0, 1)
+    assert (full_sum, full_n) == (15.0, 5)
+
+    parts = [sharded_val_stats(eval_step, None, loader, None, i, 2)
+             for i in range(2)]
+    assert sum(n for _, n in parts) == 5
+    assert sum(s for s, _ in parts) == 15.0
