@@ -160,6 +160,10 @@ class ParallelConfig:
     lat: int = 1
     lon: int = 1
     zero_opt_state: bool = True
+    # Constrain gradients to the same data-axis sharding inside the train
+    # step (GSPMD then emits the reduce-scatter-grads / all-gather-params
+    # schedule of DeepSpeed ZeRO stage 2, reference ds_config.json:1-24).
+    zero_gradients: bool = True
 
 
 @dataclass(frozen=True)

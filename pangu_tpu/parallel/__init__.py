@@ -9,7 +9,10 @@ from pangu_tpu.parallel.mesh import (  # noqa: F401
 )
 from pangu_tpu.parallel.sharding import (  # noqa: F401
     batch_spec,
+    replicate_constraint,
     shard_batch,
     shard_params,
+    zero_bytes_per_device,
+    zero_constraint,
     zero_shard_opt_state,
 )

@@ -112,8 +112,16 @@ def make_train_step(
         else:
             loss, grads = single_grads(state.params, batch, aux, rng)
 
+        # ZeRO-2 schedule (reference ds_config.json): reduce-scatter the
+        # gradients onto the data axis, update each shard against the
+        # (equally sharded) optimizer moments, all-gather the new params.
+        from pangu_tpu.parallel.sharding import replicate_constraint, zero_constraint
+
+        zero2 = cfg.parallel.zero_gradients and cfg.parallel.zero_opt_state
+        grads = zero_constraint(grads, zero2)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = replicate_constraint(params, zero2)
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step

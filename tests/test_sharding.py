@@ -222,6 +222,48 @@ def test_spatial_sharded_matches_single_device():
     np.testing.assert_allclose(float(loss_single), float(loss_sp), rtol=1e-5)
 
 
+def test_zero2_grad_sharding_matches_and_saves_memory():
+    """The ZeRO-2 schedule (reduce-scatter grads / all-gather params) must
+    be numerically identical to the replicated-gradient path, and the
+    per-device memory math must show the data-axis saving."""
+    _need_devices(8)
+    from pangu_tpu.parallel import zero_bytes_per_device
+
+    cfg_on = pangu_tiny()
+    cfg_off = cfg_on.replace(parallel=dataclasses.replace(
+        cfg_on.parallel, zero_gradients=False))
+    aux = synthetic_aux_constants(cfg_on.model, cfg_on.train)
+    model = PanguModel(cfg_on.model)
+    opt = make_optimizer(cfg_on)
+    batch = _tiny_batch(cfg_on, 8)
+    rng = jax.random.PRNGKey(0)
+
+    mesh = make_mesh(ParallelConfig(data=8))
+    losses, trees = [], []
+    for cfg in (cfg_on, cfg_off):
+        with activate_mesh(mesh):
+            state = init_train_state(model, cfg, aux, opt)
+            state = TrainState(
+                shard_params(state.params, mesh),
+                zero_shard_opt_state(state.opt_state, mesh),
+                state.step,
+            )
+            b = shard_batch(batch, mesh)
+            state, loss = jax.jit(make_train_step(model, cfg, opt))(
+                state, b, aux, rng)
+            losses.append(float(loss))
+            trees.append(jax.device_get(state.params))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(trees[0]), jax.tree.leaves(trees[1])):
+        np.testing.assert_allclose(a, b_, rtol=2e-5, atol=1e-7)
+
+    params = trees[0]
+    sharded = zero_bytes_per_device(params, mesh, True)
+    replicated = zero_bytes_per_device(params, mesh, False)
+    # most weight bytes divide the 8-way data axis
+    assert sharded < 0.3 * replicated
+
+
 def test_graft_entry_dryrun():
     _need_devices(8)
     import __graft_entry__ as ge
