@@ -159,6 +159,11 @@ class ParallelConfig:
     data: int = 1
     lat: int = 1
     lon: int = 1
+    # GPipe-style pipeline stages (role of the reference's DeepSpeed
+    # PanguModelPipe, models/pangu_model_deepspeed.py:18-125). Must be 1
+    # (off) or exactly the number of model stages (4). Composes with `data`;
+    # mutually exclusive with spatial sharding (lat/lon) in this release.
+    pipe: int = 1
     zero_opt_state: bool = True
     # Constrain gradients to the same data-axis sharding inside the train
     # step (GSPMD then emits the reduce-scatter-grads / all-gather-params

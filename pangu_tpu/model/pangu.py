@@ -49,6 +49,59 @@ def drop_path_rates(cfg: ModelConfig) -> Tuple[Tuple[float, ...], ...]:
     return tuple(out)
 
 
+def backbone_modules(cfg: ModelConfig, deterministic: bool):
+    """Construct every backbone submodule with its canonical name.
+
+    Shared by :class:`PanguModel` and the pipeline stages
+    (``pangu_tpu.parallel.pipeline``) so the two can never drift: one param
+    tree, partitioned by top-level module name, serves both execution forms.
+    Returned instances are unbound — call them inside an ``@nn.compact``
+    body.
+    """
+    g = compute_geometry(cfg)
+    cdt = jnp.dtype(cfg.compute_dtype)
+    pdt = jnp.dtype(cfg.param_dtype)
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[cfg.matmul_precision]
+    dpr = drop_path_rates(cfg)
+    remat = cfg.remat and not deterministic
+
+    def layer(i, stage):
+        return EarthSpecificLayer(
+            stage=stage,
+            depth=cfg.depths[i],
+            dim=cfg.dims[i],
+            heads=cfg.heads[i],
+            drop_path_rates=dpr[i],
+            mlp_ratio=cfg.mlp_ratio,
+            remat=remat,
+            compute_dtype=cdt,
+            param_dtype=pdt,
+            use_pallas=cfg.use_pallas_attention,
+            precision=prec,
+            name=f"layer{i}",
+        )
+
+    return g, {
+        "patch_embed": PatchEmbedding(cfg, g, compute_dtype=cdt,
+                                      param_dtype=pdt, precision=prec,
+                                      name="patch_embed"),
+        "layer0": layer(0, g.outer),
+        "downsample": DownSample(cfg.dims[0], g.h_down_pad, compute_dtype=cdt,
+                                 param_dtype=pdt, precision=prec,
+                                 name="downsample"),
+        "layer1": layer(1, g.inner),
+        "layer2": layer(2, g.inner),
+        "upsample": UpSample(cfg.dims[2], cfg.dims[3], g.h, compute_dtype=cdt,
+                             param_dtype=pdt, precision=prec, name="upsample"),
+        "layer3": layer(3, g.outer),
+        "patch_recovery": PatchRecovery(cfg, g, compute_dtype=cdt,
+                                        param_dtype=pdt, precision=prec,
+                                        name="patch_recovery"),
+    }
+
+
 class PanguModel(nn.Module):
     cfg: ModelConfig
 
@@ -60,53 +113,25 @@ class PanguModel(nn.Module):
         aux: AuxConstants,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        cfg = self.cfg
-        g = compute_geometry(cfg)
-        cdt = jnp.dtype(cfg.compute_dtype)
-        pdt = jnp.dtype(cfg.param_dtype)
-        prec = {"default": jax.lax.Precision.DEFAULT,
-                "high": jax.lax.Precision.HIGH,
-                "highest": jax.lax.Precision.HIGHEST}[cfg.matmul_precision]
-        dpr = drop_path_rates(cfg)
-        remat = cfg.remat and not deterministic
-
-        def layer(i, stage):
-            return EarthSpecificLayer(
-                stage=stage,
-                depth=cfg.depths[i],
-                dim=cfg.dims[i],
-                heads=cfg.heads[i],
-                drop_path_rates=dpr[i],
-                mlp_ratio=cfg.mlp_ratio,
-                remat=remat,
-                compute_dtype=cdt,
-                param_dtype=pdt,
-                use_pallas=cfg.use_pallas_attention,
-                precision=prec,
-                name=f"layer{i}",
-            )
+        g, mods = backbone_modules(self.cfg, deterministic)
 
         upper = maybe_shard(upper, P("data", None, None, "lat", "lon"))
         surface = maybe_shard(surface, P("data", None, "lat", "lon"))
 
-        x = PatchEmbedding(cfg, g, compute_dtype=cdt, param_dtype=pdt,
-                           precision=prec, name="patch_embed")(upper, surface, aux)
+        x = mods["patch_embed"](upper, surface, aux)
         x = maybe_shard(x, _TOKEN_SPEC)
 
-        x = layer(0, g.outer)(x, deterministic)
+        x = mods["layer0"](x, deterministic)
         skip = x
-        x = DownSample(cfg.dims[0], g.h_down_pad, compute_dtype=cdt,
-                       param_dtype=pdt, precision=prec, name="downsample")(x)
+        x = mods["downsample"](x)
         x = maybe_shard(x, _TOKEN_SPEC)
-        x = layer(1, g.inner)(x, deterministic)
-        x = layer(2, g.inner)(x, deterministic)
-        x = UpSample(cfg.dims[2], cfg.dims[3], g.h, compute_dtype=cdt,
-                     param_dtype=pdt, precision=prec, name="upsample")(x)
+        x = mods["layer1"](x, deterministic)
+        x = mods["layer2"](x, deterministic)
+        x = mods["upsample"](x)
         x = maybe_shard(x, _TOKEN_SPEC)
-        x = layer(3, g.outer)(x, deterministic)
+        x = mods["layer3"](x, deterministic)
 
         # Channel-concat skip connection (reference models/pangu_model.py:98).
         x = jnp.concatenate([skip, x], axis=-1)
 
-        return PatchRecovery(cfg, g, compute_dtype=cdt, param_dtype=pdt,
-                             precision=prec, name="patch_recovery")(x)
+        return mods["patch_recovery"](x)

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pangu_tpu.config import ParallelConfig
 
-AXES = ("data", "lat", "lon")
+AXES = ("data", "pipe", "lat", "lon")
 
 #: Canonical sharding of the (B, Z, H, W, C) token grid. Only applied to the
 #: *window-padded* grid (H = 186/96 at flagship geometry, 18/12 at tiny):
@@ -63,13 +63,13 @@ def make_mesh(
     cfg: ParallelConfig, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    n = cfg.data * cfg.lat * cfg.lon
+    n = cfg.data * cfg.pipe * cfg.lat * cfg.lon
     if n > len(devices):
         raise ValueError(
-            f"mesh {cfg.data}x{cfg.lat}x{cfg.lon} needs {n} devices, "
-            f"have {len(devices)}"
+            f"mesh {cfg.data}x{cfg.pipe}x{cfg.lat}x{cfg.lon} needs {n} "
+            f"devices, have {len(devices)}"
         )
-    grid = np.asarray(devices[:n]).reshape(cfg.data, cfg.lat, cfg.lon)
+    grid = np.asarray(devices[:n]).reshape(cfg.data, cfg.pipe, cfg.lat, cfg.lon)
     return Mesh(grid, AXES)
 
 

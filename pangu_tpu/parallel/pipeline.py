@@ -1,0 +1,366 @@
+"""GPipe-style pipeline parallelism over a ``pipe`` mesh axis.
+
+TPU-native re-design of the reference's DeepSpeed pipeline prototype
+(``PanguModelPipe``, reference models/pangu_model_deepspeed.py:18-125): the
+same four stages split at the U-Net joints —
+
+  stage 0: patch_embed + layer0
+  stage 1: downsample + layer1
+  stage 2: layer2
+  stage 3: upsample + layer3 + skip-concat + patch_recovery
+
+— but scheduled as ONE SPMD program instead of a multi-process 1F1B engine:
+every device runs the same ``shard_map``-ed scan; at tick ``t`` device ``d``
+applies its stage (``lax.switch`` on ``lax.axis_index('pipe')``) to the
+activation that arrived from device ``d-1``, then ``lax.ppermute`` rotates
+activations one hop along the ring. Microbatch ``m`` enters at device 0 on
+tick ``m`` and exits at device ``S-1`` on tick ``m+S-1`` — the classic GPipe
+fill/drain schedule, with the bubble fraction ``(S-1)/(M+S-1)``.
+
+Honest sharding: each stage's parameters live only on that stage's devices —
+the per-stage param trees are raveled to flat vectors, padded to a common
+length, stacked to ``(S, Pmax)`` and sharded ``P('pipe')``. Gradients come
+back in the same layout, so the optimizer update runs stage-local with no
+parameter gathering at all (stronger than the reference's ZeRO-2 + PP combo).
+
+The skip connection (stage 0's output feeds stage 3,
+reference models/pangu_model.py:98) travels WITH its microbatch through
+stages 1 and 2 as a pass-through payload slot — no extra cross-stage wiring.
+
+Composes with data parallelism (mesh ``('data','pipe',...)``: microbatches
+are batch-sharded over ``data``; the pipeline rotates within each data
+replica). Spatial (lat/lon) sharding inside a pipeline stage is not supported
+in this release — pick PP x DP or DP x SP (docs/PARITY.md discusses why SP is
+the default recommendation on TPU).
+
+Backward is plain ``jax.grad`` through the scan: ``ppermute`` transposes to
+the reverse rotation, so the gradient drains back through the ring in
+reverse schedule order — XLA derives the 1F1B-equivalent comm pattern that
+DeepSpeed hand-implements.
+
+Stochastic depth is disabled in pipeline mode (the reference's pipeline
+prototype is likewise a smoke-level trainer); per-block rematerialization
+stays on for training.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pangu_tpu.aux import AuxConstants, norm_data
+from pangu_tpu.config import ModelConfig, PanguConfig
+from pangu_tpu.geometry import compute_geometry
+from pangu_tpu.model.pangu import backbone_modules
+
+try:  # jax >= 0.6 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+NUM_STAGES = 4
+
+#: top-level param-tree keys owned by each stage (same split as
+#: reference models/pangu_model_deepspeed.py:24-66).
+STAGE_MODULES: Tuple[Tuple[str, ...], ...] = (
+    ("patch_embed", "layer0"),
+    ("downsample", "layer1"),
+    ("layer2",),
+    ("upsample", "layer3", "patch_recovery"),
+)
+
+
+class PanguStage(nn.Module):
+    """One pipeline stage as a standalone flax module.
+
+    Submodules come from :func:`backbone_modules` with the exact names used
+    by ``PanguModel``, so a full model's param tree partitions cleanly into
+    stage trees (:func:`split_stage_params`) and back.
+
+    ``__call__`` maps a payload tuple to a payload tuple:
+      stage 0: (upper, surface) -> (x_outer,)
+      stage 1: (x_outer,)       -> (x_inner, skip)
+      stage 2: (x_inner, skip)  -> (x_inner, skip)
+      stage 3: (x_inner, skip)  -> (out_upper, out_surface)
+    """
+
+    cfg: ModelConfig
+    stage_id: int
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, payload: Tuple[jnp.ndarray, ...], aux: AuxConstants
+                 ) -> Tuple[jnp.ndarray, ...]:
+        # deterministic=False only to enable remat in backbone_modules; the
+        # layers themselves are invoked deterministically (no droppath).
+        _, mods = backbone_modules(self.cfg, deterministic=not self.remat)
+        if self.stage_id == 0:
+            upper, surface = payload
+            x = mods["patch_embed"](upper, surface, aux)
+            x = mods["layer0"](x, True)
+            return (x,)
+        if self.stage_id == 1:
+            (x,) = payload
+            skip = x
+            y = mods["downsample"](x)
+            y = mods["layer1"](y, True)
+            return (y, skip)
+        if self.stage_id == 2:
+            y, skip = payload
+            y = mods["layer2"](y, True)
+            return (y, skip)
+        y, skip = payload
+        y = mods["upsample"](y)
+        y = mods["layer3"](y, True)
+        y = jnp.concatenate([skip, y], axis=-1)
+        return mods["patch_recovery"](y)
+
+
+def split_stage_params(params: Any) -> List[Any]:
+    """Partition a full PanguModel param tree into the four stage trees."""
+    inner = params["params"]
+    return [{"params": {k: inner[k] for k in names}} for names in STAGE_MODULES]
+
+
+def merge_stage_params(stage_params: Sequence[Any]) -> Any:
+    """Inverse of :func:`split_stage_params`."""
+    out = {}
+    for tree in stage_params:
+        out.update(tree["params"])
+    return {"params": out}
+
+
+def _payload_shapes(cfg: ModelConfig, b: int) -> List[List[Tuple[int, ...]]]:
+    """Payload array shapes at each stage input boundary, plus the final
+    output boundary, for per-device microbatch size ``b``."""
+    g = compute_geometry(cfg)
+    io_shapes = [(b, cfg.upper_vars, cfg.levels, cfg.lat, cfg.lon),
+                 (b, cfg.surface_vars, cfg.lat, cfg.lon)]
+    outer = (b, g.z, g.h, g.w, cfg.dims[0])
+    inner = (b, g.z, g.h2, g.w2, cfg.dims[1])
+    return [
+        io_shapes,            # into stage 0
+        [outer],              # into stage 1
+        [inner, outer],       # into stage 2
+        [inner, outer],       # into stage 3
+        io_shapes,            # out of stage 3
+    ]
+
+
+def _pack(arrays: Sequence[jnp.ndarray], size: int, dtype) -> jnp.ndarray:
+    flat = jnp.concatenate([a.astype(dtype).reshape(-1) for a in arrays])
+    return jnp.pad(flat, (0, size - flat.shape[0]))
+
+
+def _unpack(buf: jnp.ndarray, shapes: Sequence[Tuple[int, ...]]
+            ) -> List[jnp.ndarray]:
+    out, off = [], 0
+    for s in shapes:
+        n = int(np.prod(s))
+        out.append(jax.lax.dynamic_slice_in_dim(buf, off, n).reshape(s))
+        off += n
+    return out
+
+
+class PanguPipeline:
+    """Builds jitted pipelined forward / train-step functions.
+
+    Parameters are held as the stacked flat ``(S, Pmax)`` array (see module
+    docstring). Use :meth:`stack_params` / :meth:`unstack_params` to convert
+    to and from ordinary PanguModel param trees (checkpoints and weight
+    importers speak the tree form).
+    """
+
+    def __init__(self, cfg: PanguConfig, mesh: Mesh, params_template: Any):
+        if mesh.shape.get("pipe") != NUM_STAGES:
+            raise ValueError(
+                f"pipeline needs a 'pipe' mesh axis of size {NUM_STAGES}, "
+                f"got {dict(mesh.shape)}"
+            )
+        if mesh.shape.get("lat", 1) != 1 or mesh.shape.get("lon", 1) != 1:
+            raise ValueError("pipeline mode does not compose with spatial "
+                             "(lat/lon) sharding; use PP x DP")
+        self.cfg = cfg
+        self.mesh = mesh
+        stage_trees = split_stage_params(params_template)
+        self._unravels: List[Callable] = []
+        self._sizes: List[int] = []
+        for tree in stage_trees:
+            flat, unravel = ravel_pytree(tree)
+            self._sizes.append(flat.shape[0])
+            self._unravels.append(unravel)
+        self.pmax = max(self._sizes)
+
+    # -- param layout -------------------------------------------------------
+
+    def stack_params(self, params: Any) -> jax.Array:
+        """Full param tree -> (S, Pmax) flat stack sharded P('pipe')."""
+        rows = []
+        for tree in split_stage_params(params):
+            flat, _ = ravel_pytree(tree)
+            rows.append(np.pad(np.asarray(flat, np.float32),
+                               (0, self.pmax - flat.shape[0])))
+        stacked = np.stack(rows)
+        return jax.device_put(
+            stacked, NamedSharding(self.mesh, P("pipe", None)))
+
+    def unstack_params(self, stacked: jax.Array) -> Any:
+        """(S, Pmax) flat stack -> full param tree (host-side)."""
+        rows = np.asarray(stacked)
+        trees = [self._unravels[i](jnp.asarray(rows[i, : self._sizes[i]]))
+                 for i in range(NUM_STAGES)]
+        return merge_stage_params(trees)
+
+    # -- core schedule ------------------------------------------------------
+
+    def _apply(self, stacked: jax.Array, upper: jnp.ndarray,
+               surface: jnp.ndarray, aux: AuxConstants, num_microbatches: int,
+               remat: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pipelined forward. upper (B, Vu, L, lat, lon) / surface
+        (B, Vs, lat, lon); B must be divisible by num_microbatches x the
+        data-axis size. Returns model outputs in normalized space, (B, ...)."""
+        cfg, mcfg = self.cfg, self.cfg.model
+        mesh, S, M = self.mesh, NUM_STAGES, num_microbatches
+        dp = mesh.shape.get("data", 1)
+        B = upper.shape[0]
+        if B % (M * dp):
+            raise ValueError(f"batch {B} not divisible by microbatches {M} "
+                             f"x data axis {dp}")
+        bl = B // (M * dp)  # per-device microbatch size
+
+        shapes = _payload_shapes(mcfg, bl)
+        sizes = [sum(int(np.prod(s)) for s in shp) for shp in shapes]
+        buf_size = max(sizes)
+        out_size = sizes[-1]
+        bdt = jnp.float32  # transport dtype (see module docstring)
+        unravels, psizes = self._unravels, self._sizes
+
+        def stage_branch(i: int):
+            def branch(local_flat, buf, aux):
+                p = unravels[i](local_flat[: psizes[i]])
+                payload = _unpack(buf, shapes[i])
+                out = PanguStage(mcfg, i, remat=remat).apply(p, tuple(payload), aux)
+                return _pack(out, buf_size, bdt)
+            return branch
+
+        branches = [stage_branch(i) for i in range(NUM_STAGES)]
+
+        io_spec_u = P(None, "data", None, None, None, None)
+        io_spec_s = P(None, "data", None, None, None)
+
+        @partial(
+            _shard_map,
+            mesh=mesh,
+            in_specs=(P("pipe", None), io_spec_u, io_spec_s, P()),
+            out_specs=(io_spec_u, io_spec_s),
+            check_vma=False,
+        )
+        def run(flat_block, micro_u, micro_s, aux):
+            sid = jax.lax.axis_index("pipe")
+            local_flat = flat_block[0]
+
+            def tick(carry, t):
+                buf, outs = carry
+                m = jnp.minimum(t, M - 1)
+                inj = _pack(
+                    (jax.lax.dynamic_index_in_dim(micro_u, m, 0, False),
+                     jax.lax.dynamic_index_in_dim(micro_s, m, 0, False)),
+                    buf_size, bdt)
+                buf = jnp.where((sid == 0) & (t < M), inj, buf)
+                out = jax.lax.switch(sid, branches, local_flat, buf, aux)
+                j = t - (S - 1)
+                upd = jax.lax.dynamic_update_slice(
+                    outs, out[None, :out_size], (jnp.maximum(j, 0), 0))
+                outs = jnp.where((sid == S - 1) & (j >= 0), upd, outs)
+                buf = jax.lax.ppermute(
+                    out, "pipe", [(i, (i + 1) % S) for i in range(S)])
+                return (buf, outs), None
+
+            buf0 = jnp.zeros((buf_size,), bdt)
+            outs0 = jnp.zeros((M, out_size), bdt)
+            (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
+                                        jnp.arange(M + S - 1))
+            # only the last stage holds real outputs; psum replicates them
+            # across the pipe ring (a no-op-sized collective: S-1 zeros).
+            outs = jax.lax.psum(
+                jnp.where(sid == S - 1, outs, jnp.zeros((), bdt)), "pipe")
+            nu = int(np.prod(shapes[-1][0]))
+            u = outs[:, :nu].reshape((M,) + shapes[-1][0])
+            s = outs[:, nu:].reshape((M,) + shapes[-1][1])
+            return u, s
+
+        micro_u = upper.reshape((M, B // M) + upper.shape[1:])
+        micro_s = surface.reshape((M, B // M) + surface.shape[1:])
+        u, s = run(stacked, micro_u, micro_s, aux)
+        return (u.reshape((B,) + u.shape[2:]).astype(jnp.float32),
+                s.reshape((B,) + s.shape[2:]).astype(jnp.float32))
+
+    # -- public entry points ------------------------------------------------
+
+    def make_forward(self, num_microbatches: int) -> Callable:
+        """jitted (stacked_params, upper, surface, aux) -> normalized-space
+        (out_upper, out_surface)."""
+
+        @jax.jit
+        def fwd(stacked, upper, surface, aux):
+            return self._apply(stacked, upper, surface, aux,
+                               num_microbatches, remat=False)
+
+        return fwd
+
+    def make_train_step(self, optimizer, num_microbatches: int) -> Callable:
+        """jitted (state, batch, aux) -> (state, loss) with the same loss
+        semantics as train/step.py (weighted L1 on normalized targets).
+        ``state.params`` is the stacked flat (S, Pmax) array; optimizer
+        state shards along with it."""
+        from pangu_tpu.train.loss import weighted_l1_loss
+        from pangu_tpu.train.step import TrainState
+
+        cfg = self.cfg
+
+        def loss_fn(stacked, batch, aux):
+            out_u, out_s = self._apply(stacked, batch.upper, batch.surface,
+                                       aux, num_microbatches, remat=True)
+            tgt_u, tgt_s = norm_data(batch.target_upper, batch.target_surface,
+                                     aux)
+            mask = aux.custom_mask if cfg.train.use_custom_mask else None
+            return weighted_l1_loss(
+                out_u, out_s, tgt_u, tgt_s, aux,
+                only_wind_speed=cfg.train.only_wind_speed_loss, mask=mask)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, batch, aux):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, aux)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = jax.tree.map(jnp.add, state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return step
+
+    def init_train_state(self, params: Any, optimizer):
+        from pangu_tpu.train.step import TrainState
+
+        stacked = self.stack_params(params)
+
+        def spec_for(leaf):
+            # Adam moments mirror the (S, Pmax) param stack and shard with
+            # it; bookkeeping scalars (step counts) replicate.
+            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] == NUM_STAGES:
+                return NamedSharding(self.mesh, P("pipe", None))
+            return NamedSharding(self.mesh, P())
+
+        opt_state = jax.jit(
+            optimizer.init,
+            out_shardings=jax.tree.map(
+                spec_for, jax.eval_shape(optimizer.init, stacked)),
+        )(stacked)
+        return TrainState(stacked, opt_state, jnp.zeros((), jnp.int32))

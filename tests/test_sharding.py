@@ -60,14 +60,16 @@ def test_mesh_shapes():
     _need_devices(8)
     mesh = make_mesh(ParallelConfig(data=2, lat=2, lon=2))
     assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
-        "data": 2, "lat": 2, "lon": 2,
+        "data": 2, "pipe": 1, "lat": 2, "lon": 2,
     }
     with pytest.raises(ValueError):
         make_mesh(ParallelConfig(data=16))
 
 
 @pytest.mark.parametrize("pcfg,batch", [
-    (ParallelConfig(data=8), 8),           # pure DP (DDP role)
+    # pure DP (data=8) is covered by test_sharded_matches_single_device and
+    # test_zero2_grad_sharding... below — not re-parametrized here (compile
+    # time on the 1-core CPU box dominates the suite).
     (ParallelConfig(data=2, lat=2, lon=2), 2),  # DP + spatial SP
     (ParallelConfig(data=1, lat=2, lon=4), 1),  # pure spatial
 ])
