@@ -1,18 +1,23 @@
-"""Benchmark: wall-clock per 24h forecast step on the flagship model.
+"""Benchmark: wall-clock per 24h forecast step on the flagship model, plus
+a full-geometry bf16+remat train-step timing.
 
 Times a K-step autoregressive rollout (forward + de/re-normalization feedback,
 the unit of work of production inference; reference
 inference/inference_multiOutput.py:171-197) compiled as ONE jitted
 ``lax.scan``, and reports per-step time. Running all steps device-side in a
 single dispatch amortizes host<->device round-trip latency — required for
-honest numbers through high-latency device tunnels.
+honest numbers through high-latency device tunnels. The train step (forward
++ backward + Adam update, the reference's primary workload,
+finetune/finetune_fully.py) is timed the same way via a scan over the step.
 
 The reference publishes no speed numbers; the driver's north-star target is
 < 1 s per 24h step (BASELINE.md), used as the baseline for ``vs_baseline``
 (ratio > 1 means faster than target).
 
-Prints exactly one JSON line:
-  {"metric": "fwd_step_time_s", "value": ..., "unit": "s", "vs_baseline": ...}
+Prints exactly one JSON line; the primary metric is the forecast step, the
+train-step time rides along as an extra key:
+  {"metric": "fwd_step_time_s", "value": ..., "unit": "s",
+   "vs_baseline": ..., "train_step_time_s": ...}
 """
 
 from __future__ import annotations
@@ -26,9 +31,25 @@ BASELINE_S = 1.0
 ROLLOUT_STEPS = 10
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache next to this file. Full-geometry
+    compiles take minutes through a tunneled device; repeat bench runs on the
+    same chip should pay that once."""
+    import os
+
+    import jax
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cc.set_cache_dir(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from pangu_tpu.aux import norm_back_data, synthetic_aux_constants
     from pangu_tpu.config import pangu_pretrain
@@ -85,13 +106,124 @@ def main() -> None:
     float(rollout(params, upper, surface, k_short))  # compile
     float(rollout(params, upper, surface, k_long))
     value = (timed(k_long) - timed(k_short)) / (k_long - k_short)
-    print(json.dumps({
+
+    # The train metric rides along; it must never take the primary forecast
+    # metric down with it. The full-geometry fwd+bwd program is the slowest
+    # compile in the repo and the tunneled remote-compile service has been
+    # seen dropping the connection mid-compile — so the train bench runs in
+    # a SUBPROCESS with a hard timeout (once it succeeds, the persistent
+    # compile cache makes reruns fast).
+    result = {
         "metric": "fwd_step_time_s",
         "value": round(value, 5),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / value, 4),
-    }))
+    }
+    result.update(_train_metric_subprocess())
+    print(json.dumps(result))
+
+
+def _train_metric_subprocess() -> dict:
+    import os
+    import subprocess
+    import sys
+
+    timeout = float(os.environ.get("PANGU_BENCH_TRAIN_TIMEOUT", "1500"))
+    if timeout <= 0:
+        return {"train_step_time_s": None, "train_step_error": "disabled"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-only"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except (ValueError, TypeError):
+                continue
+        return {"train_step_time_s": None,
+                "train_step_error": (proc.stderr or "no output")[-200:]}
+    except subprocess.TimeoutExpired:
+        return {"train_step_time_s": None,
+                "train_step_error": f"timeout after {timeout:.0f}s"}
+
+
+def train_only() -> None:
+    import jax
+
+    _enable_compile_cache()
+
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_pretrain
+    from pangu_tpu.model import PanguModel
+
+    cfg = pangu_pretrain(
+        horizon=24,
+        compute_dtype="bfloat16",
+        matmul_precision="default",
+        use_pallas_attention=jax.default_backend() == "tpu",
+    )
+    m = cfg.model
+    aux = synthetic_aux_constants(m, cfg.train)
+    model = PanguModel(m)
+    rng = np.random.default_rng(0)
+    upper = rng.standard_normal(
+        (1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    surface = rng.standard_normal(
+        (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
+    value = bench_train_step(cfg, model, aux, params, upper, surface)
+    print(json.dumps({"train_step_time_s": round(value, 5)}))
+
+
+def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
+    """Per-step wall time of the jitted train step (fwd+bwd+Adam) at full
+    geometry, bf16 compute + per-block remat, batch 1 — scan-amortized like
+    the forecast benchmark."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from pangu_tpu.train.step import Batch, make_optimizer, make_train_step
+    from pangu_tpu.train.trainer import init_train_state
+
+    optimizer = make_optimizer(cfg)
+    step = make_train_step(model, cfg, optimizer)
+    state = init_train_state(model, cfg, aux, optimizer, params=params)
+    batch = Batch(upper, surface, upper, surface)
+
+    @partial(jax.jit, static_argnames=("steps",), donate_argnums=(0,))
+    def run(state, steps):
+        def body(st, rng):
+            st, loss = step(st, batch, aux, rng)
+            return st, loss
+
+        state, losses = jax.lax.scan(
+            body, state, jax.random.split(jax.random.PRNGKey(0), steps))
+        return state, jnp.sum(losses)
+
+    def timed(k, reps=3):
+        nonlocal state
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, s = run(state, k)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_short, k_long = 2, 8
+    state, s = run(state, k_short)
+    float(s)
+    state, s = run(state, k_long)
+    float(s)
+    return (timed(k_long) - timed(k_short)) / (k_long - k_short)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train-only" in sys.argv:
+        train_only()
+    else:
+        main()

@@ -117,10 +117,12 @@ class EarthAttention3D(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray],
         epilogue: Optional[tuple] = None,
-    ) -> jnp.ndarray:
+        collect_only: bool = False,
+    ):
         """epilogue: optional (ln_scale, ln_bias) — fuse the block's
-        ``x + LayerNorm(attn(x))`` post-norm residual into the kernel."""
-        b, z, hp, w, c = x.shape
+        ``x + LayerNorm(attn(x))`` post-norm residual into the kernel.
+        collect_only: declare and return the raw params (for a caller-side
+        fused kernel) without computing."""
         head_dim = self.dim // self.heads
         scale = head_dim**-0.5
         cdt = self.compute_dtype
@@ -135,6 +137,9 @@ class EarthAttention3D(nn.Module):
              self.tokens_per_window),
             self.param_dtype,
         )
+        if collect_only:
+            return wqkv, bqkv, wproj, bproj, bias
+        b, z, hp, w, c = x.shape
 
         if self.use_pallas and jax.default_backend() == "tpu":
             from pangu_tpu.ops.fused_block_attention import fused_block_attention

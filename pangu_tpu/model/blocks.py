@@ -5,9 +5,12 @@ including the post-norm residual order ``x = shortcut + drop_path(norm(attn))``
 (models/layers.py:296-297) and all asymmetric lat pad/crop rules — but operate
 on the (B, Z, H, W, C) grid with geometry from ``pangu_tpu.geometry``.
 
-On TPU inference the whole block runs as two fused Pallas kernels
-(attention+norm1+residual, mlp+norm2+residual); training and off-TPU paths
-use the equivalent XLA formulation (stochastic depth needs the unfused form).
+On TPU inference the whole block runs as ONE fused Pallas megakernel
+(attention + norm1 + residual + MLP + norm2 + residual,
+ops/fused_block_attention.py::fused_earth_block). TPU bf16 training runs the
+Pallas attention kernel with a flash-style backward plus unfused epilogues
+(stochastic depth needs them); off-TPU paths use the equivalent XLA
+formulation.
 """
 
 from __future__ import annotations
@@ -71,12 +74,16 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ln: Optional[Tuple] = None,
-                 fused: bool = False) -> jnp.ndarray:
+                 fused: bool = False, collect_only: bool = False):
         cdt = self.compute_dtype
         w1, b1 = DenseParams(self.dim, self.dim * self.ratio,
                              param_dtype=self.param_dtype, name="fc1")()
         w2, b2 = DenseParams(self.dim * self.ratio, self.dim,
                              param_dtype=self.param_dtype, name="fc2")()
+        if collect_only:
+            # hand the raw weights to a caller-side fused kernel (the block
+            # megakernel) without changing the param tree layout
+            return w1, b1, w2, b2
         if fused:
             from pangu_tpu.ops.fused_mlp import fused_mlp_block
 
@@ -151,11 +158,10 @@ class EarthSpecificBlock(nn.Module):
                   param_dtype=self.param_dtype, precision=self.precision,
                   name="mlp")
 
-        # Fused kernels are inference-only: stochastic depth needs the
-        # unfused epilogues, and the custom_vjp residuals + XLA-formula
-        # backward of the kernels exceed single-chip HBM at full geometry
-        # (training uses the XLA form end-to-end; a fused flash backward is
-        # the planned fix).
+        # Fused LN/residual epilogues are inference-only (stochastic depth
+        # needs the unfused form); the attention kernel itself runs in
+        # training too — its custom_vjp is a flash-style Pallas backward
+        # that recomputes scores per window (ops/fused_block_attention.py).
         fused = (
             self.use_pallas
             and deterministic
@@ -177,6 +183,40 @@ class EarthSpecificBlock(nn.Module):
             x = jnp.roll(x, shift=(-(wz // 2), -(wh // 2), -(ww // 2)), axis=(1, 2, 3))
             mask = jnp.asarray(shift_attention_mask(st))
 
+        if fused:
+            # Whole-block megakernel: attention + both post-norm residuals +
+            # MLP in ONE Pallas program (rolls commute with the per-token
+            # epilogues; pad rows carry garbage that the next block re-zeroes
+            # and the layer finally crops).
+            from pangu_tpu.ops.fused_block_attention import fused_earth_block
+
+            attn = EarthAttention3D(
+                dim=self.dim, heads=self.heads,
+                n_type_windows=st.n_type_windows,
+                tokens_per_window=st.tokens_per_window, window=st.window,
+                compute_dtype=self.compute_dtype,
+                param_dtype=self.param_dtype, use_pallas=True,
+                precision=self.precision, name="attn",
+            )
+            wqkv, bqkv, wproj, bproj, bias = attn(None, None, collect_only=True)
+            w1, b1, w2, b2 = mlp(None, collect_only=True)
+            cdt = self.compute_dtype
+            x = fused_earth_block(
+                x.astype(cdt),
+                wqkv.astype(cdt), bqkv.astype(cdt),
+                wproj.astype(cdt), bproj.astype(cdt),
+                bias.astype(jnp.float32),
+                None if mask is None else mask.astype(jnp.float32),
+                ln1[0].astype(jnp.float32), ln1[1].astype(jnp.float32),
+                w1.astype(cdt), b1.astype(cdt),
+                w2.astype(cdt), b2.astype(cdt),
+                ln2[0].astype(jnp.float32), ln2[1].astype(jnp.float32),
+                st.window, self.heads, (self.dim // self.heads) ** -0.5,
+            )
+            if self.shifted:
+                x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
+            return x
+
         x = EarthAttention3D(
             dim=self.dim,
             heads=self.heads,
@@ -185,20 +225,13 @@ class EarthSpecificBlock(nn.Module):
             window=st.window,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas and deterministic,
+            use_pallas=self.use_pallas,
             precision=self.precision,
             name="attn",
-        )(x, mask, epilogue=ln1 if fused else None)
+        )(x, mask)
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
-
-        if fused:
-            # x is already shortcut + LN(attn) (kernel epilogue: rolls commute
-            # with per-token ops; pad rows carry garbage that the next block
-            # re-zeroes and the layer finally crops); finish with the fused
-            # mlp tail.
-            return mlp(x, ln=ln2, fused=True)
 
         # Post-norm residuals (reference models/layers.py:296-297).
         drop = DropPath(self.drop_path_rate, name="drop_path")

@@ -39,7 +39,7 @@ _LN_EPS = 1e-5
 
 def _make_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
                  scale: float, with_mask: bool, with_epilogue: bool,
-                 precise: bool):
+                 precise: bool, with_mlp: bool = False):
     wz, wh, ww = window
     wn = w // ww
     t = wz * wh * ww
@@ -54,6 +54,9 @@ def _make_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
         if with_epilogue:
             ln_s_ref = rest.pop(0)
             ln_b_ref = rest.pop(0)
+        if with_mlp:
+            w1_ref, b1_ref, w2_ref, b2_ref, ln2_s_ref, ln2_b_ref = rest[:6]
+            rest = rest[6:]
         out_ref, acc_ref = rest
 
         for wi in range(wn):
@@ -105,6 +108,32 @@ def _make_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
                 y = (y - mu) * jax.lax.rsqrt(var + _LN_EPS)
                 y = y * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
                 y = y + xw.astype(jnp.float32)
+            if with_mlp:
+                # block tail (reference models/layers.py:297):
+                # out = y + LayerNorm(GELU(y@W1+b1)@W2+b2) — the hidden
+                # (t, 4C) activation lives only in VMEM.
+                from pangu_tpu.ops.fused_mlp import _gelu_exact_f32
+
+                yb = y.astype(xw.dtype)
+                h = jax.lax.dot_general(
+                    yb, w1_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                ) + b1_ref[:].astype(jnp.float32)
+                h = _gelu_exact_f32(h).astype(xw.dtype)
+                zz = jax.lax.dot_general(
+                    h, w2_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                ) + b2_ref[:].astype(jnp.float32)
+                mu = jnp.mean(zz, axis=-1, keepdims=True)
+                var = jnp.mean(zz * zz, axis=-1, keepdims=True) - mu * mu
+                zz = (zz - mu) * jax.lax.rsqrt(var + _LN_EPS)
+                zz = (zz * ln2_s_ref[:].astype(jnp.float32)
+                      + ln2_b_ref[:].astype(jnp.float32))
+                y = y + zz
             out_ref[0, :, :, wi * ww:(wi + 1) * ww, :] = (
                 y.astype(out_ref.dtype).reshape(wz, wh, ww, c)
             )
@@ -245,6 +274,184 @@ def _forward(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_scale, ln_bias,
     return out
 
 
+def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
+                     scale: float, with_mask: bool):
+    """Flash-style backward: scores are recomputed per window (never stored),
+    weight/bias gradients accumulate in VMEM-resident output blocks across
+    the sequential TPU grid."""
+    wz, wh, ww = window
+    wn = w // ww
+    t = wz * wh * ww
+    d = c // heads
+
+    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
+               *rest):
+        rest = list(rest)
+        mask_ref = rest.pop(0) if with_mask else None
+        (dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+         dbias_ref, acc_ref, dqkv_ref) = rest
+
+        zi, hi, bb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        first = (zi == 0) & (hi == 0) & (bb == 0)
+
+        @pl.when(first)
+        def _():
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+        @pl.when(bb == 0)
+        def _():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        def dot(a, b, ta=False, tb=False):
+            dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        for wi in range(wn):
+            xw = x_ref[0, :, :, wi * ww:(wi + 1) * ww, :].reshape(t, c)
+            gw = (g_ref[0, :, :, wi * ww:(wi + 1) * ww, :]
+                  .reshape(t, c).astype(jnp.float32))
+
+            # ---- recompute forward up to p (per head below) ----
+            qkv = (dot(xw, wqkv_ref[:])
+                   + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
+
+            # proj backward needs acc = concat_h(p@v): recompute heads once
+            # for acc, then again per head for the score grads — trading
+            # FLOPs for never materializing all (t,t) scores at once.
+            dbproj_ref[:] += jnp.sum(gw, axis=0, keepdims=True)
+            dacc = dot(gw.astype(xw.dtype), wproj_ref[:], tb=True)  # (t, c)
+            for h in range(heads):
+                qh = qkv[:, h * d:(h + 1) * d]
+                kh = qkv[:, c + h * d:c + (h + 1) * d]
+                vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+
+                s = dot(qh, kh, tb=True) * scale
+                s = s + bias_ref[0, h]
+                if with_mask:
+                    s = s + mask_ref[0]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 (t, t)
+                pw = p.astype(xw.dtype)
+
+                acc_ref[:, h * d:(h + 1) * d] = dot(pw, vh).astype(acc_ref.dtype)
+
+                do = dacc[:, h * d:(h + 1) * d].astype(xw.dtype)  # (t, d)
+                dp = dot(do, vh, tb=True)                          # (t, t)
+                dv = dot(pw, do, ta=True)                          # (t, d)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                dbias_ref[0, h] += ds
+                dsw = ds.astype(xw.dtype)
+                dq = dot(dsw, kh) * scale                          # (t, d)
+                dk = dot(dsw, qh, ta=True) * scale
+                dqkv_ref[:, h * d:(h + 1) * d] = dq
+                dqkv_ref[:, c + h * d:c + (h + 1) * d] = dk
+                dqkv_ref[:, 2 * c + h * d:2 * c + (h + 1) * d] = dv
+
+            dwproj_ref[:] += dot(acc_ref[:], gw.astype(xw.dtype), ta=True)
+            dqkv = dqkv_ref[:]
+            dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+            dqkvw = dqkv.astype(xw.dtype)
+            dwqkv_ref[:] += dot(xw, dqkvw, ta=True)
+            dx_ref[0, :, :, wi * ww:(wi + 1) * ww, :] = (
+                dot(dqkvw, wqkv_ref[:], tb=True)
+                .astype(dx_ref.dtype).reshape(wz, wh, ww, c)
+            )
+
+    return kernel
+
+
+def _backward_pallas(x, wqkv, bqkv, wproj, bias, mask, g,
+                     window, heads, scale):
+    """Pallas flash backward (no-epilogue path). Returns
+    (dx, dwqkv, dbqkv, dwproj, dbproj, dbias)."""
+    b, z, hp, w, c = x.shape
+    wz, wh, ww = window
+    zn, hn = z // wz, hp // wh
+    t = wz * wh * ww
+
+    grid = (zn, hn, b)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda zi, hi, bb: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    slab = pl.BlockSpec((1, wz, wh, w, c),
+                        lambda zi, hi, bb: (bb, zi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, heads, t, t),
+                             lambda zi, hi, bb: (zi * hn + hi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    in_specs = [slab, slab, const_spec(wqkv), const_spec(bqkv),
+                const_spec(wproj), bias_spec]
+    args = [x, g, wqkv, bqkv, wproj, bias]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, t, t),
+                                     lambda zi, hi, bb: (zi * hn + hi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+
+    kernel = _make_bwd_kernel(window, w, c, heads, scale, mask is not None)
+
+    n_windows = b * zn * hn * (w // ww)
+    flops = 2 * n_windows * (
+        2 * t * c * 3 * c
+        + heads * 2 * 2 * t * t * (c // heads)
+        + 2 * t * c * c
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype),              # dx
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),        # dwqkv
+        jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),        # dbqkv
+        jax.ShapeDtypeStruct((c, c), jnp.float32),            # dwproj
+        jax.ShapeDtypeStruct((1, c), jnp.float32),            # dbproj
+        jax.ShapeDtypeStruct(bias.shape, jnp.float32),        # dbias
+    )
+    out_specs = (
+        slab,
+        pl.BlockSpec((c, 3 * c), lambda zi, hi, bb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c), lambda zi, hi, bb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda zi, hi, bb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda zi, hi, bb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        bias_spec,
+    )
+    dx, dwqkv, dbqkv, dwproj, dbproj, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((t, c), x.dtype),          # per-window attention acc
+            pltpu.VMEM((t, 3 * c), jnp.float32),  # per-window dqkv
+        ],
+        # slabs + grads + bias rows exceed the conservative 16MB scoped
+        # default by ~1.5MB at the outer stage; v5e/v5p VMEM is far larger
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * x.size * x.dtype.itemsize + 2 * bias.size * 4,
+            transcendentals=n_windows * heads * t * t,
+        ),
+    )(*args)
+    return (dx, dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj[0].astype(wproj.dtype),
+            dbias.astype(bias.dtype))
+
+
 def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_scale, ln_bias,
          window, heads, scale):
     out = _forward(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_scale, ln_bias,
@@ -255,6 +462,11 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_scale, ln_bias,
 def _bwd(window, heads, scale, res, g):
     x, wqkv, bqkv, wproj, bproj, bias, mask, ln_scale, ln_bias = res
     if ln_scale is None:
+        if jax.default_backend() == "tpu" and x.dtype != jnp.float32:
+            dx, dwqkv, dbqkv, dwproj, dbproj, dbias = _backward_pallas(
+                x, wqkv, bqkv, wproj, bias, mask, g, window, heads, scale
+            )
+            return dx, dwqkv, dbqkv, dwproj, dbproj, dbias, None, None, None
         _, vjp = jax.vjp(
             lambda x, wqkv, bqkv, wproj, bproj, bias: _xla_reference(
                 x, wqkv, bqkv, wproj, bproj, bias, mask, window, heads, scale
@@ -275,3 +487,138 @@ def _bwd(window, heads, scale, res, g):
 
 
 fused_block_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Block megakernel: the ENTIRE Earth-Specific block in one Pallas program —
+# attention + post-norm residual + MLP + post-norm residual. Removes the two
+# extra HBM round trips (attn-out write/read, mlp-in write/read) of the
+# two-kernel split; the (t, 4C) MLP hidden never leaves VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _xla_block_reference(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                         ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                         window, heads, scale, precision=None):
+    from pangu_tpu.ops.fused_mlp import _xla_reference as mlp_reference
+
+    y = _xla_reference(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                       window, heads, scale, precision=precision,
+                       ln_scale=ln1_s, ln_bias=ln1_b)
+    shape = y.shape
+    return mlp_reference(y.reshape(-1, shape[-1]), w1, b1, w2, b2,
+                         ln2_s, ln2_b, precision=precision).reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def fused_earth_block(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                      ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                      window: Tuple[int, int, int], heads: int, scale: float):
+    """One Earth-Specific block, fully fused (reference
+    models/layers.py:218-299): x -> x + LN1(attn(x)) -> + LN2(MLP(...)).
+
+    x: (B, Z, Hp, W, C) on the (possibly rolled) window-padded grid; rolls
+    commute with the per-token epilogues, so the caller un-rolls the output.
+    Inference path only (stochastic depth needs the unfused form); gradients
+    fall back to the XLA formulation.
+    """
+    return _block_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                          ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                          window, heads, scale)
+
+
+def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                   ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                   window, heads, scale):
+    if jax.default_backend() != "tpu" or x.dtype == jnp.float32:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+        return _xla_block_reference(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                    ln1_s, ln1_b, w1, b1, w2, b2, ln2_s,
+                                    ln2_b, window, heads, scale,
+                                    precision=prec)
+
+    b, z, hp, w, c = x.shape
+    wz, wh, ww = window
+    zn, hn = z // wz, hp // wh
+    t = wz * wh * ww
+    rows = wz * wh * w
+    hidden = w1.shape[1]
+
+    grid = (b, zn, hn)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda bb, zi, hi: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    slab = pl.BlockSpec((1, wz, wh, w, c),
+                        lambda bb, zi, hi: (bb, zi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [slab, const_spec(wqkv), const_spec(bqkv), const_spec(wproj),
+                const_spec(bproj),
+                pl.BlockSpec((1, heads, t, t),
+                             lambda bb, zi, hi: (zi * hn + hi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [x, wqkv, bqkv, wproj, bproj, bias]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, t, t),
+                                     lambda bb, zi, hi: (zi * hn + hi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    for arr in (ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b):
+        in_specs.append(const_spec(arr))
+        args.append(arr)
+
+    kernel = _make_kernel(window, w, c, heads, scale, mask is not None,
+                          with_epilogue=True, precise=False, with_mlp=True)
+
+    n_windows = b * zn * hn * (w // ww)
+    flops = n_windows * (
+        2 * t * c * 3 * c
+        + heads * 2 * 2 * t * t * (c // heads)
+        + 2 * t * c * c
+        + 2 * 2 * t * c * hidden
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=slab,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t, c), x.dtype),  # per-window attention output
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * x.size * x.dtype.itemsize + bias.size * 4,
+            transcendentals=n_windows * (heads * t * t + t * hidden),
+        ),
+    )(*args)
+
+
+def _block_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
+               ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+               window, heads, scale):
+    out = _block_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                         ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                         window, heads, scale)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias, mask,
+                 ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b)
+
+
+def _block_bwd(window, heads, scale, res, g):
+    (x, wqkv, bqkv, wproj, bproj, bias, mask,
+     ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b) = res
+    _, vjp = jax.vjp(
+        lambda *diff: _xla_block_reference(
+            diff[0], diff[1], diff[2], diff[3], diff[4], diff[5], mask,
+            *diff[6:], window, heads, scale),
+        x, wqkv, bqkv, wproj, bproj, bias,
+        ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b)
+    grads = vjp(g)
+    return grads[:6] + (None,) + grads[6:]
+
+
+fused_earth_block.defvjp(_block_fwd, _block_bwd)

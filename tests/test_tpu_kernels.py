@@ -63,6 +63,109 @@ def test_fused_block_attention_matches_xla(rng, z, hp, w, c, heads, masked):
     assert np.abs(got - ref).max() / denom < 2e-2  # bf16 reorder tolerance
 
 
+@pytest.mark.parametrize("z,hp,w,c,heads", [
+    (8, 186, 48, 192, 6),
+    (8, 96, 24, 384, 12),
+])
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_backward_matches_xla(rng, z, hp, w, c, heads, masked):
+    """The Pallas flash backward (scores recomputed per window) must agree
+    with the XLA-formula gradients for every input (VERDICT r1 #3)."""
+    from pangu_tpu.ops.fused_block_attention import (
+        _xla_reference,
+        fused_block_attention,
+    )
+
+    window = (2, 6, 12)
+    nt = (z // 2) * (hp // 6)
+    x = jnp.asarray(rng.standard_normal((1, z, hp, w, c)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)) * 0.01, jnp.bfloat16)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.bfloat16)
+    bproj = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((nt, heads, 144, 144)) * 0.02,
+                       jnp.float32)
+    mask = None
+    if masked:
+        mask = jnp.asarray(
+            np.where(rng.uniform(size=(nt, 144, 144)) > 0.8, -100.0, 0.0),
+            jnp.float32,
+        )
+    scale = (c // heads) ** -0.5
+
+    def loss_pallas(x, wqkv, bqkv, wproj, bproj, bias):
+        o = fused_block_attention(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                  None, None, window, heads, scale)
+        return jnp.sum(jnp.cos(o.astype(jnp.float32)))
+
+    def loss_xla(x, wqkv, bqkv, wproj, bproj, bias):
+        o = _xla_reference(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                           window, heads, scale)
+        return jnp.sum(jnp.cos(o.astype(jnp.float32)))
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    gp = jax.jit(jax.grad(loss_pallas, argnums=tuple(range(6))))(*args)
+    gx = jax.jit(jax.grad(loss_xla, argnums=tuple(range(6))))(*args)
+    for name, a, b in zip(("dx", "dwqkv", "dbqkv", "dwproj", "dbproj",
+                           "dbias"), gp, gx):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 2e-2, name
+
+
+@pytest.mark.parametrize("z,hp,w,c,heads", [
+    (8, 186, 48, 192, 6),
+    (8, 96, 24, 384, 12),
+])
+@pytest.mark.parametrize("masked", [False, True])
+def test_block_megakernel_matches_xla(rng, z, hp, w, c, heads, masked):
+    """The whole-block megakernel (attention + both post-norm residuals +
+    MLP in one Pallas program) must match the XLA block formula."""
+    from pangu_tpu.ops.fused_block_attention import (
+        _xla_block_reference,
+        fused_earth_block,
+    )
+
+    window = (2, 6, 12)
+    nt = (z // 2) * (hp // 6)
+    x = jnp.asarray(rng.standard_normal((1, z, hp, w, c)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)) * 0.01, jnp.bfloat16)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.bfloat16)
+    bproj = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((nt, heads, 144, 144)) * 0.02,
+                       jnp.float32)
+    ln1 = (jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32),
+           jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32))
+    ln2 = (jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32),
+           jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((4 * c,)) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+    mask = None
+    if masked:
+        mask = jnp.asarray(
+            np.where(rng.uniform(size=(nt, 144, 144)) > 0.8, -100.0, 0.0),
+            jnp.float32,
+        )
+    scale = (c // heads) ** -0.5
+
+    got = jax.jit(lambda *a: fused_earth_block(
+        *a, window, heads, scale))(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                   ln1[0], ln1[1], w1, b1, w2, b2,
+                                   ln2[0], ln2[1])
+    ref = jax.jit(lambda *a: _xla_block_reference(
+        *a, window, heads, scale))(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                   ln1[0], ln1[1], w1, b1, w2, b2,
+                                   ln2[0], ln2[1])
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+
 def test_fused_mlp_matches_xla(rng):
     from pangu_tpu.ops.fused_mlp import _xla_reference, fused_mlp_block
 
