@@ -12,6 +12,7 @@ numpy results keyed by target time.
 from __future__ import annotations
 
 import os
+import functools
 from functools import partial
 from typing import Callable, Dict, Iterable, Optional
 
@@ -197,3 +198,12 @@ def evaluate(
     if logger:
         logger.info("test_loss: %.6f", mean_loss)
     return mean_loss
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_field_scorer(cfg: PanguConfig) -> Callable:
+    """One jitted scorer per config — rollout engines over the same config
+    share the compiled program instead of re-jitting per engine call."""
+    import jax
+
+    return jax.jit(make_field_scorer(cfg))

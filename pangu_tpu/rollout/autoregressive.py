@@ -9,6 +9,7 @@ buffers — the TPU-native replacement for the reference's ONNX-session loop.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -18,8 +19,13 @@ from pangu_tpu.aux import AuxConstants, norm_back_data
 from pangu_tpu.model import PanguModel
 
 
+@functools.lru_cache(maxsize=None)
 def make_forecast_step(model: PanguModel, donate: bool = True) -> Callable:
-    """(params, upper, surface, aux) -> (upper', surface') in physical units."""
+    """(params, upper, surface, aux) -> (upper', surface') in physical units.
+
+    Cached per (model, donate): every ModelBundle over the same architecture
+    shares one jitted program instead of recompiling (flax Modules are frozen
+    dataclasses, so they hash by configuration)."""
 
     def step(params, upper, surface, aux: AuxConstants):
         ou, os_ = model.apply(params, upper, surface, aux, True)

@@ -31,7 +31,7 @@ from pangu_tpu.config import PanguConfig
 from pangu_tpu.eval.evaluate import (
     ACC_FAMILIES,
     RMSE_FAMILIES,
-    make_field_scorer,
+    jitted_field_scorer,
     write_score_tables,
 )
 from pangu_tpu.model import PanguModel
@@ -80,7 +80,7 @@ def single_output_eval(
     """Forecast each test sample with ``steps`` autoregressive applications
     of one model and score the final frame; one CSV set for the run."""
     step_fn = bundle.forecast_step()
-    scorer = jax.jit(make_field_scorer(cfg))
+    scorer = jitted_field_scorer(cfg)
     rmse_scores, acc_scores = _new_score_dicts()
 
     for batch, periods in loader:
@@ -118,7 +118,7 @@ def multi_output_rollout(
     the finetuned model is what gets scored).
     """
     choose_horizon = choose_horizon or (lambda t: base_horizon)
-    scorer = jax.jit(make_field_scorer(cfg))
+    scorer = jitted_field_scorer(cfg)
     base = bundles[base_horizon]
     spaces = lead_days * 24 // base_horizon
     key_set = set(dataset.keys)
@@ -283,7 +283,7 @@ def iterative_eval(
     produced but the test range has no key for (e.g. hourly frames against a
     24h-cadence dataset) are reported once per run, not silently dropped.
     """
-    scorer = jax.jit(make_field_scorer(cfg))
+    scorer = jitted_field_scorer(cfg)
     key_set = set(dataset.keys)
     last_key = max(dataset.keys)
     lo, hi = hours

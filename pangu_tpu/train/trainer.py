@@ -72,8 +72,10 @@ def init_train_state(
         m = cfg.model
         upper = jnp.zeros((1, m.upper_vars, m.levels, m.lat, m.lon), jnp.float32)
         surface = jnp.zeros((1, m.surface_vars, m.lat, m.lon), jnp.float32)
-        params = model.init(rng or jax.random.PRNGKey(cfg.train.seed),
-                            upper, surface, aux)
+        # jit the init: op-by-op dispatch of the full-geometry forward is
+        # minutes through a tunneled device, one compiled call is seconds
+        params = jax.jit(model.init)(rng or jax.random.PRNGKey(cfg.train.seed),
+                                     upper, surface, aux)
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 

@@ -23,6 +23,15 @@ if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the suite is compile-dominated (tiny-geometry
+# model steps over an 8-device mesh, ~1 CPU core), and most test runs compile
+# the same programs as the last one. Cache survives across pytest processes.
+from jax.experimental.compilation_cache import compilation_cache as _cc  # noqa: E402
+
+_cc.set_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402

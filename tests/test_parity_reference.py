@@ -190,6 +190,7 @@ def test_downsample_parity(ref, torch, rng):
     np.testing.assert_allclose(got, ref_out, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_upsample_parity(ref, torch, rng):
     """Full geometry — the reference hardcodes view(B, 8, 91, 180, ...)."""
     from pangu_tpu.config import ModelConfig
@@ -213,6 +214,7 @@ def test_upsample_parity(ref, torch, rng):
     np.testing.assert_allclose(got, ref_out, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_patch_embed_parity(ref, torch, rng):
     """Full geometry — the reference hardcodes view(..., 181, 360)."""
     import jax.numpy as jnp
@@ -267,6 +269,7 @@ def test_patch_embed_parity(ref, torch, rng):
     np.testing.assert_allclose(got, ref_out, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_patch_recovery_parity(ref, torch, rng):
     """Full geometry — the reference hardcodes the 14/724/1440 reshape."""
     from pangu_tpu.config import ModelConfig
