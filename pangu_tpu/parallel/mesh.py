@@ -59,6 +59,36 @@ def is_main() -> bool:
     return jax.process_index() == 0
 
 
+def ensure_virtual_devices(n_devices: int):
+    """Bootstrap an n-device virtual CPU platform when real devices are
+    insufficient (the TPU-native answer to \"multi-node without a cluster\",
+    SURVEY §4). Env vars do NOT work here: the axon TPU plugin re-inserts
+    itself into ``jax_platforms`` at import time — so pin the platform via
+    jax.config, clearing any live backend first (jax refuses to change
+    ``jax_num_cpu_devices`` once one exists)."""
+    try:
+        have = len(jax.devices())
+    except Exception:
+        have = 0
+    if have >= n_devices:
+        return jax.devices()[:n_devices]
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            f"(platform bootstrap failed)"
+        )
+    return devices[:n_devices]
+
+
 def make_mesh(
     cfg: ParallelConfig, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:

@@ -112,7 +112,7 @@ def test_sharded_matches_single_device():
     rng = jax.random.PRNGKey(0)
 
     state1 = init_train_state(model, cfg, aux, opt)
-    _, loss_single = make_train_step(model, cfg, opt)(state1, batch, aux, rng)
+    _, loss_single = jax.jit(make_train_step(model, cfg, opt))(state1, batch, aux, rng)
 
     mesh = make_mesh(ParallelConfig(data=8))
     with activate_mesh(mesh):
@@ -209,7 +209,7 @@ def test_spatial_sharded_matches_single_device():
     rng = jax.random.PRNGKey(0)
 
     state1 = init_train_state(model, cfg, aux, opt)
-    _, loss_single = make_train_step(model, cfg, opt)(state1, batch, aux, rng)
+    _, loss_single = jax.jit(make_train_step(model, cfg, opt))(state1, batch, aux, rng)
 
     mesh = make_mesh(ParallelConfig(data=1, lat=2, lon=4))
     with activate_mesh(mesh):

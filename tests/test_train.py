@@ -103,8 +103,8 @@ def test_accumulation_matches_large_batch(setup):
     micro = Batch(*(a.reshape((2, 1) + a.shape[1:]) for a in big))
 
     rng = jax.random.PRNGKey(3)
-    s_big, loss_big = make_train_step(model, cfg, opt)(state0, big, aux, rng)
-    s_acc, loss_acc = make_train_step(model, cfg_acc, opt)(state0, micro, aux, rng)
+    s_big, loss_big = jax.jit(make_train_step(model, cfg, opt))(state0, big, aux, rng)
+    s_acc, loss_acc = jax.jit(make_train_step(model, cfg_acc, opt))(state0, micro, aux, rng)
 
     # batch-2 loss is the mean over samples; accumulated loss is the mean of
     # two single-sample losses -> identical
