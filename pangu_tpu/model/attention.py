@@ -70,6 +70,39 @@ def shift_attention_mask(stage: StageGeometry) -> np.ndarray:
     return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
 
 
+def shift_attention_mask_traced(stage: StageGeometry) -> jnp.ndarray:
+    """Same mask as :func:`shift_attention_mask`, built IN-GRAPH from iotas.
+
+    As a numpy constant the mask is a 5-10 MB literal inlined once per
+    shifted block (XLA does not dedupe them), which alone pushed the
+    full-geometry train program past the remote-compile request size limit
+    (HTTP 413). The iota form adds a few cheap integer ops instead.
+    Equivalence is asserted against the numpy oracle in tests/test_model.py.
+    """
+    wz, wh, ww = stage.window
+    z, hp = stage.z, stage.h_pad
+    hn = hp // wh
+    nt, t = stage.n_type_windows, stage.tokens_per_window
+
+    ti = jax.lax.broadcasted_iota(jnp.int32, (nt, t), 0)  # window type
+    tj = jax.lax.broadcasted_iota(jnp.int32, (nt, t), 1)  # token in window
+    dz = tj // (wh * ww)
+    dh = (tj // ww) % wh
+    zz = (ti // hn) * wz + dz  # absolute z of the token
+    hh = (ti % hn) * wh + dh   # absolute (padded) lat of the token
+
+    # region labels replicate the reference's sequential slice-assignment
+    # order (models/layers.py:187-216): last-written slice wins, giving
+    # z zones [0, Z-wz) / [Z-wz, Z-wz/2) / [Z-wz/2, Z) and the non-Swin
+    # lat zones [0, wh) / [wh, Hp-wh/2) / [Hp-wh/2, Hp).
+    zzone = (zz >= z - wz).astype(jnp.int32) + (zz >= z - wz // 2)
+    hzone = (hh >= wh).astype(jnp.int32) + (hh >= hp - wh // 2)
+    lab = 3 * zzone + hzone
+
+    diff = lab[:, :, None] != lab[:, None, :]
+    return jnp.where(diff, jnp.float32(-100.0), jnp.float32(0.0))
+
+
 class DenseParams(nn.Module):
     """Declares Dense-layout params without binding them to an application
     site, so the fused kernel and the XLA path share one param tree."""

@@ -25,7 +25,7 @@ from pangu_tpu.geometry import StageGeometry
 from pangu_tpu.model.attention import (
     DenseParams,
     EarthAttention3D,
-    shift_attention_mask,
+    shift_attention_mask_traced,
 )
 from pangu_tpu.parallel.mesh import TOKEN_SPEC, maybe_shard
 
@@ -181,7 +181,7 @@ class EarthSpecificBlock(nn.Module):
         mask = None
         if self.shifted:
             x = jnp.roll(x, shift=(-(wz // 2), -(wh // 2), -(ww // 2)), axis=(1, 2, 3))
-            mask = jnp.asarray(shift_attention_mask(st))
+            mask = shift_attention_mask_traced(st)
 
         if fused:
             # Whole-block megakernel: attention + both post-norm residuals +

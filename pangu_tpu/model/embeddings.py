@@ -44,22 +44,26 @@ from pangu_tpu.geometry import Geometry
 _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 
 
-@functools.lru_cache(maxsize=None)
-def _lon_onehot(lon: int, pw: int) -> np.ndarray:
-    """(LON, pw, W): S[l, l%pw, l//pw] = 1 — lane gather as a matmul."""
-    s = np.zeros((lon, pw, lon // pw), np.float32)
-    for l in range(lon):
-        s[l, l % pw, l // pw] = 1.0
-    return s
+def _lon_onehot(lon: int, pw: int, dtype) -> jnp.ndarray:
+    """(LON, pw, W): S[l, l%pw, l//pw] = 1 — lane gather as a matmul.
+
+    Built IN-GRAPH from iotas: as a numpy constant this is a multi-MB
+    inlined literal per use site, and the full-geometry program must stay
+    under the remote-compile request size limit (docs/PERFORMANCE.md)."""
+    shape = (lon, pw, lon // pw)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    d = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    w = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return (l == w * pw + d).astype(dtype)
 
 
-@functools.lru_cache(maxsize=None)
-def _lat_onehot(latp: int, ph: int) -> np.ndarray:
-    """(LATp, H, ph): R[r, r//ph, r%ph] = 1."""
-    r = np.zeros((latp, latp // ph, ph), np.float32)
-    for i in range(latp):
-        r[i, i // ph, i % ph] = 1.0
-    return r
+def _lat_onehot(latp: int, ph: int, dtype) -> jnp.ndarray:
+    """(LATp, H, ph): R[r, r//ph, r%ph] = 1 (in-graph, see _lon_onehot)."""
+    shape = (latp, latp // ph, ph)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    h = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return (r == h * ph + y).astype(dtype)
 
 
 def _use_onehot(dtype) -> bool:
@@ -125,8 +129,8 @@ class PatchEmbedding(nn.Module):
         cu = upper.shape[1]
 
         if _use_onehot(cdt):
-            S = jnp.asarray(_lon_onehot(cfg.lon, pw), cdt)
-            R = jnp.asarray(_lat_onehot(cfg.lat + g.lat_pad, ph), cdt)
+            S = _lon_onehot(cfg.lon, pw, cdt)
+            R = _lat_onehot(cfg.lat + g.lat_pad, ph, cdt)
 
             sfc1 = jnp.einsum("bvrl,ldw->bvrdw", surface, S)
             sfc2 = jnp.einsum("bvrdw,rhy->bvhydw", sfc1, R)
@@ -206,8 +210,8 @@ class PatchRecovery(nn.Module):
                                 name="head_surface")()
 
         if _use_onehot(cdt):
-            S = jnp.asarray(_lon_onehot(cfg.lon, pw), cdt)
-            R = jnp.asarray(_lat_onehot(cfg.lat + g.lat_pad, ph), cdt)
+            S = _lon_onehot(cfg.lon, pw, cdt)
+            R = _lat_onehot(cfg.lat + g.lat_pad, ph, cdt)
 
             # upper: project with output dims (v, dz, dy, dx) kept separate,
             # longitude staying in lanes, then scatter lat/lon via one-hots

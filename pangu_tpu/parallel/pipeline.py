@@ -336,13 +336,27 @@ class PanguPipeline:
                 out_u, out_s, tgt_u, tgt_s, aux,
                 only_wind_speed=cfg.train.only_wind_speed_loss, mask=mask)
 
+        pipe_sharding = NamedSharding(self.mesh, P("pipe", None))
+
+        def pin(tree):
+            # pin param-stack-shaped leaves to P('pipe') so the output state
+            # matches the input sharding (donation reuses buffers; no
+            # retrace on the second call)
+            return jax.tree.map(
+                lambda l: jax.lax.with_sharding_constraint(l, pipe_sharding)
+                if getattr(l, "ndim", 0) == 2 and l.shape[0] == NUM_STAGES
+                else l,
+                tree,
+            )
+
         @partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch, aux):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, aux)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = jax.tree.map(jnp.add, state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss
+            return TrainState(pin(params), pin(opt_state),
+                              state.step + 1), loss
 
         return step
 

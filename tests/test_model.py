@@ -51,6 +51,21 @@ def test_shift_mask_static():
     assert np.all(np.diagonal(m, axis1=1, axis2=2) == 0.0)
 
 
+def test_shift_mask_traced_matches_numpy():
+    """The in-graph iota mask (what the model compiles — no inlined literal)
+    must equal the numpy oracle at every geometry the model uses."""
+    from pangu_tpu.config import ModelConfig
+    from pangu_tpu.model.attention import shift_attention_mask_traced
+
+    stages = []
+    for mc in (pangu_tiny().model, ModelConfig()):
+        g = compute_geometry(mc)
+        stages += [g.outer, g.inner]
+    for st in stages:
+        got = np.asarray(shift_attention_mask_traced(st))
+        np.testing.assert_array_equal(got, shift_attention_mask(st))
+
+
 def test_forward_shapes(tiny):
     cfg, model, params, upper, surface, aux = tiny
     out_u, out_s = model.apply(params, upper, surface, aux)
