@@ -120,6 +120,9 @@ def main() -> None:
         "value": round(value, 5),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / value, 4),
+        # the tunnel may attach each process to a different chip — record
+        # which one produced each number
+        "device_kind": jax.devices()[0].device_kind,
     }
     result.update(_train_metric_subprocess())
     print(json.dumps(result))
@@ -175,7 +178,8 @@ def train_only() -> None:
         (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
     value = bench_train_step(cfg, model, aux, params, upper, surface)
-    print(json.dumps({"train_step_time_s": round(value, 5)}))
+    print(json.dumps({"train_step_time_s": round(value, 5),
+                      "train_device_kind": jax.devices()[0].device_kind}))
 
 
 def bench_train_step(cfg, model, aux, params, upper, surface) -> float:

@@ -183,6 +183,19 @@ class EarthSpecificBlock(nn.Module):
             x = jnp.roll(x, shift=(-(wz // 2), -(wh // 2), -(ww // 2)), axis=(1, 2, 3))
             mask = shift_attention_mask_traced(st)
 
+        attn = EarthAttention3D(
+            dim=self.dim,
+            heads=self.heads,
+            n_type_windows=st.n_type_windows,
+            tokens_per_window=st.tokens_per_window,
+            window=st.window,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
+            precision=self.precision,
+            name="attn",
+        )
+
         if fused:
             # Whole-block megakernel: attention + both post-norm residuals +
             # MLP in ONE Pallas program (rolls commute with the per-token
@@ -190,14 +203,6 @@ class EarthSpecificBlock(nn.Module):
             # and the layer finally crops).
             from pangu_tpu.ops.fused_block_attention import fused_earth_block
 
-            attn = EarthAttention3D(
-                dim=self.dim, heads=self.heads,
-                n_type_windows=st.n_type_windows,
-                tokens_per_window=st.tokens_per_window, window=st.window,
-                compute_dtype=self.compute_dtype,
-                param_dtype=self.param_dtype, use_pallas=True,
-                precision=self.precision, name="attn",
-            )
             wqkv, bqkv, wproj, bproj, bias = attn(None, None, collect_only=True)
             w1, b1, w2, b2 = mlp(None, collect_only=True)
             cdt = self.compute_dtype
@@ -217,18 +222,7 @@ class EarthSpecificBlock(nn.Module):
                 x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
             return x
 
-        x = EarthAttention3D(
-            dim=self.dim,
-            heads=self.heads,
-            n_type_windows=st.n_type_windows,
-            tokens_per_window=st.tokens_per_window,
-            window=st.window,
-            compute_dtype=self.compute_dtype,
-            param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas,
-            precision=self.precision,
-            name="attn",
-        )(x, mask)
+        x = attn(x, mask)
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))

@@ -72,6 +72,14 @@ def ensure_virtual_devices(n_devices: int):
         have = 0
     if have >= n_devices:
         return jax.devices()[:n_devices]
+    import logging
+
+    logging.getLogger("pangu_tpu").warning(
+        "ensure_virtual_devices: only %d real device(s) available — "
+        "REPLACING the live backend with %d virtual CPU devices for this "
+        "process (sharding validation mode, not a performance platform)",
+        have, n_devices,
+    )
     try:
         from jax.extend.backend import clear_backends
 

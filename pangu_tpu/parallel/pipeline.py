@@ -60,10 +60,21 @@ from pangu_tpu.config import ModelConfig, PanguConfig
 from pangu_tpu.geometry import compute_geometry
 from pangu_tpu.model.pangu import backbone_modules
 
-try:  # jax >= 0.6 exposes shard_map at the top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+try:  # jax >= 0.6 exposes shard_map at the top level (kwarg: check_vma)
+    from jax import shard_map as _raw_shard_map
+except ImportError:  # pragma: no cover - older jax (kwarg: check_rep)
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+
+
+def _shard_map(f=None, **kw):
+    """shard_map with the replication-check kwarg name of the running jax
+    (check_vma on >= 0.6, check_rep before)."""
+    import inspect
+
+    if "check_vma" in kw and \
+            "check_vma" not in inspect.signature(_raw_shard_map).parameters:
+        kw["check_rep"] = kw.pop("check_vma")  # pragma: no cover
+    return _raw_shard_map(f, **kw) if f is not None else _raw_shard_map(**kw)
 
 
 NUM_STAGES = 4

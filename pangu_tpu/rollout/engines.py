@@ -78,7 +78,17 @@ def single_output_eval(
     steps: int = 1,
 ) -> None:
     """Forecast each test sample with ``steps`` autoregressive applications
-    of one model and score the final frame; one CSV set for the run."""
+    of one model and score the final frame; one CSV set for the run.
+
+    ``steps`` reproduces the reference's time bookkeeping EXACTLY
+    (inference_singleOutput.py:135-153): ``spaces = horizon // test_freq``
+    applications of the horizon model, scored against the dataset's
+    ``t + horizon`` target. Note the reference quirk this preserves: when
+    ``test_freq < horizon`` the model still advances ``horizon`` hours per
+    application, so the final frame's physical lead is
+    ``steps * horizon`` — the reference's per-step ``current_time`` advances
+    only ``freq`` and its alignment assert passes regardless. Use
+    ``test_freq == horizon`` (1 step) for physically-labeled scores."""
     step_fn = bundle.forecast_step()
     scorer = jitted_field_scorer(cfg)
     rmse_scores, acc_scores = _new_score_dicts()

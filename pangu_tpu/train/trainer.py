@@ -34,30 +34,44 @@ from pangu_tpu.utils.logger import get_logger
 def sharded_val_stats(
     eval_step, params, val_loader, aux, index: int, count: int
 ) -> Tuple[float, int]:
-    """(loss_sum, n_batches) of this process's round-robin share of the val
-    set. Each host evaluates only every ``count``-th batch instead of the
-    whole loader (the reference runs the full val loop on rank 0 only,
-    models/pangu_sample.py:278-327; here the work is split instead)."""
+    """(loss_sum, n_batches) over the validation set, multi-host safe.
+
+    The reference runs the full val loop on rank 0 only
+    (models/pangu_sample.py:278-327); here the work is split across hosts
+    WITHOUT desynchronizing the SPMD program: when the trainer's params are
+    sharded over a multi-host mesh, every ``eval_step`` launch is a
+    collective, so all hosts must make the SAME number of launches with
+    globally consistent inputs. Each host's ``val_loader`` therefore holds
+    its per-process shard (equal counts — BatchLoader wrap-pads), and each
+    batch is assembled into ONE global array batch-sharded over the mesh's
+    ``data`` axis; one lockstep launch per global batch scores
+    ``count`` hosts' samples at once.
+
+    Single process: plain local loop (one launch per batch, no assembly).
+    """
+    from pangu_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
     loss_sum, n = 0.0, 0
-    for i, (batch, _periods) in enumerate(val_loader):
-        if count > 1 and i % count != index:
-            continue
+    for batch, _periods in val_loader:
+        if count > 1 and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = type(batch)(*(
+                jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P(("data",))), np.asarray(a)
+                )
+                for a in batch
+            ))
         loss_sum += float(eval_step(params, batch, aux))
         n += 1
     return loss_sum, n
 
 
 def _global_val_loss(loss_sum: float, n: int) -> float:
-    """Aggregate per-process validation sums across hosts."""
-    if jax.process_count() == 1:
-        return loss_sum / max(1, n)
-    from jax.experimental import multihost_utils
-
-    totals = multihost_utils.process_allgather(
-        jnp.asarray([loss_sum, float(n)])
-    )
-    total = np.asarray(totals).reshape(-1, 2).sum(axis=0)
-    return float(total[0]) / max(1.0, float(total[1]))
+    """Validation loss from the lockstep stats. Each launch already reduces
+    over the global batch, so every host holds the same sums — no gather."""
+    return loss_sum / max(1, n)
 
 
 def init_train_state(

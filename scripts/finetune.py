@@ -51,7 +51,10 @@ def main() -> None:
                                per_host_batch,
                                accumulation=cfg.train.accumulation_steps,
                                num_shards=n_hosts, shard=jax.process_index())
-    val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1)
+    # per-process shard (wrap-padded to equal counts): the trainer assembles
+    # each batch into one global array for lockstep multi-host validation
+    val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1,
+                             num_shards=n_hosts, shard=jax.process_index())
     test_loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon,
                               cfg.eval.batch_size)
 
