@@ -146,9 +146,12 @@ def test_lora_through_trainer_early_stop_and_best(setup, tmp_path):
     assert np.isfinite(float(ev(best, batch, aux)))
 
 
-def test_sharded_val_stats_partition():
-    """Round-robin val sharding: shards partition the loader exactly and the
-    aggregate equals the unsharded mean (multi-host val de-duplication)."""
+def test_sharded_val_stats_lockstep():
+    """Multi-host validation is LOCKSTEP: every host walks its whole
+    (per-process-sharded) loader — no batch skipping, which would
+    desynchronize collective launches. Without an active mesh the batches
+    pass through unassembled. (The data-sharded global-assembly path is
+    covered by tests/test_sharding.py::test_lockstep_val_assembly...)"""
     from pangu_tpu.train.trainer import sharded_val_stats
 
     losses = [1.0, 2.0, 3.0, 4.0, 5.0]
@@ -157,10 +160,6 @@ def test_sharded_val_stats_partition():
     def eval_step(params, batch, aux):
         return losses[batch[0]]
 
-    full_sum, full_n = sharded_val_stats(eval_step, None, loader, None, 0, 1)
-    assert (full_sum, full_n) == (15.0, 5)
-
-    parts = [sharded_val_stats(eval_step, None, loader, None, i, 2)
-             for i in range(2)]
-    assert sum(n for _, n in parts) == 5
-    assert sum(s for s, _ in parts) == 15.0
+    for count in (1, 4):
+        s, n = sharded_val_stats(eval_step, None, loader, None, 0, count)
+        assert (s, n) == (15.0, 5)

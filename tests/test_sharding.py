@@ -266,6 +266,36 @@ def test_zero2_grad_sharding_matches_and_saves_memory():
     assert sharded < 0.3 * replicated
 
 
+def test_lockstep_val_assembly_matches_local():
+    """The multi-host validation path assembles per-process batches into one
+    global data-sharded array and launches in lockstep; with a single
+    process the assembled launch must score exactly like the plain local
+    loop (and the assembly itself must produce a data-sharded batch)."""
+    _need_devices(8)
+    from pangu_tpu.train.step import make_eval_step
+    from pangu_tpu.train.trainer import sharded_val_stats
+
+    cfg = pangu_tiny()
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    opt = make_optimizer(cfg)
+    batches = [(_tiny_batch(cfg, 8), None), (_tiny_batch(cfg, 8), None)]
+
+    mesh = make_mesh(ParallelConfig(data=8))
+    with activate_mesh(mesh):
+        state = init_train_state(model, cfg, aux, opt)
+        eval_step = jax.jit(make_eval_step(model, cfg))
+
+        plain_sum, plain_n = sharded_val_stats(
+            eval_step, state.params, batches, aux, 0, 1)
+        # count > 1 switches on global assembly; single-process local data
+        # IS the full global batch, so the score must be identical
+        lock_sum, lock_n = sharded_val_stats(
+            eval_step, state.params, batches, aux, 0, 2)
+    assert plain_n == lock_n == 2
+    np.testing.assert_allclose(lock_sum, plain_sum, rtol=1e-6)
+
+
 def test_graft_entry_dryrun():
     _need_devices(8)
     import __graft_entry__ as ge
