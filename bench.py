@@ -201,6 +201,12 @@ def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
     # batch and aux are ARGUMENTS: closed over, the full-geometry input
     # arrays (~300 MB) become inlined HLO literals and push the serialized
     # program past the remote-compile request size cap (HTTP 413).
+    # A lax.scan over steps: one dispatch per K, tunnel-latency-immune.
+    # Caveat (measured, docs/PERFORMANCE.md): the scan carry double-buffers
+    # the ~1 GB (params + Adam moments) state each iteration, so this reads
+    # ~2x the profiler's device-busy time — a conservative upper bound.
+    # (K per-step dispatches chained by donation were tried and do NOT
+    # pipeline through the tunneled runtime: ~2.8 s/dispatch serialized.)
     @partial(jax.jit, static_argnames=("steps",), donate_argnums=(0,))
     def run(state, batch, aux, steps):
         def body(st, rng):
