@@ -68,27 +68,33 @@ def _make_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
                 precision=prec,
             ) + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
 
+            # Stacked-head schedule: all score dots back-to-back, ONE
+            # (heads*T, T) softmax, then all pv dots — interleaving MXU dots
+            # with per-head softmaxes stalls both units (measured
+            # ~1 ms/kernel slower; docs/PERFORMANCE.md).
+            scores_l = []
             for h in range(heads):
                 qh = qkv[:, h * d:(h + 1) * d]
                 kh = qkv[:, c + h * d:c + (h + 1) * d]
-                vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-
-                scores = jax.lax.dot_general(
+                s = jax.lax.dot_general(
                     qh, kh,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 ) * scale
-                scores = scores + bias_ref[0, h]
+                s = s + bias_ref[0, h]
                 if with_mask:
-                    scores = scores + mask_ref[0]  # noqa: mask present iff with_mask
-
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                p = jnp.exp(scores - m)
-                p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vh.dtype)
-
+                    s = s + mask_ref[0]  # noqa: mask present iff with_mask
+                scores_l.append(s)
+            S = jnp.concatenate(scores_l, axis=0)  # (heads*T, T) fp32
+            m = jnp.max(S, axis=-1, keepdims=True)
+            p = jnp.exp(S - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv.dtype)
+            for h in range(heads):
+                vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
                 acc_ref[:, h * d:(h + 1) * d] = jnp.dot(
-                    p, vh, preferred_element_type=jnp.float32, precision=prec,
+                    p[h * t:(h + 1) * t], vh,
+                    preferred_element_type=jnp.float32, precision=prec,
                 ).astype(acc_ref.dtype)
 
             y = jax.lax.dot_general(
