@@ -332,33 +332,46 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
             # FLOPs for never materializing all (t,t) scores at once.
             dbproj_ref[:] += jnp.sum(gw, axis=0, keepdims=True)
             dacc = dot(gw.astype(xw.dtype), wproj_ref[:], tb=True)  # (t, c)
+
+            # Stacked-head schedule (same reasoning as the forward kernel):
+            # batch all MXU score dots, then ONE softmax / ONE ds formula
+            # over the (heads*T, T) stack, then batch the remaining dots.
+            scores_l = []
             for h in range(heads):
                 qh = qkv[:, h * d:(h + 1) * d]
                 kh = qkv[:, c + h * d:c + (h + 1) * d]
-                vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-
-                s = dot(qh, kh, tb=True) * scale
-                s = s + bias_ref[0, h]
+                s = dot(qh, kh, tb=True) * scale + bias_ref[0, h]
                 if with_mask:
                     s = s + mask_ref[0]
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 (t, t)
-                pw = p.astype(xw.dtype)
+                scores_l.append(s)
+            S = jnp.concatenate(scores_l, axis=0)            # (heads*t, t)
+            m = jnp.max(S, axis=-1, keepdims=True)
+            p = jnp.exp(S - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)       # fp32
+            pw = p.astype(xw.dtype)
 
-                acc_ref[:, h * d:(h + 1) * d] = dot(pw, vh).astype(acc_ref.dtype)
-
+            dp_l = []
+            for h in range(heads):
+                vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+                ph = pw[h * t:(h + 1) * t]
+                acc_ref[:, h * d:(h + 1) * d] = dot(ph, vh).astype(acc_ref.dtype)
                 do = dacc[:, h * d:(h + 1) * d].astype(xw.dtype)  # (t, d)
-                dp = dot(do, vh, tb=True)                          # (t, t)
-                dv = dot(pw, do, ta=True)                          # (t, d)
-                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                dbias_ref[0, h] += ds
-                dsw = ds.astype(xw.dtype)
-                dq = dot(dsw, kh) * scale                          # (t, d)
-                dk = dot(dsw, qh, ta=True) * scale
-                dqkv_ref[:, h * d:(h + 1) * d] = dq
-                dqkv_ref[:, c + h * d:c + (h + 1) * d] = dk
-                dqkv_ref[:, 2 * c + h * d:2 * c + (h + 1) * d] = dv
+                dp_l.append(dot(do, vh, tb=True))                 # (t, t)
+                dqkv_ref[:, 2 * c + h * d:2 * c + (h + 1) * d] = (
+                    dot(ph, do, ta=True)                          # dv
+                )
+            DP = jnp.concatenate(dp_l, axis=0)               # (heads*t, t)
+            DS = p * (DP - jnp.sum(DP * p, axis=-1, keepdims=True))
+            DSw = DS.astype(xw.dtype)
+            for h in range(heads):
+                qh = qkv[:, h * d:(h + 1) * d]
+                kh = qkv[:, c + h * d:c + (h + 1) * d]
+                dbias_ref[0, h] += DS[h * t:(h + 1) * t]
+                dsw = DSw[h * t:(h + 1) * t]
+                dqkv_ref[:, h * d:(h + 1) * d] = dot(dsw, kh) * scale
+                dqkv_ref[:, c + h * d:c + (h + 1) * d] = (
+                    dot(dsw, qh, ta=True) * scale
+                )
 
             dwproj_ref[:] += dot(acc_ref[:], gw.astype(xw.dtype), ta=True)
             dqkv = dqkv_ref[:]
