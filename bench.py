@@ -14,29 +14,54 @@ The reference publishes no speed numbers; the driver's north-star target is
 < 1 s per 24h step (BASELINE.md), used as the baseline for ``vs_baseline``
 (ratio > 1 means faster than target).
 
-Prints exactly one JSON line; the primary metric is the forecast step, the
-train-step time rides along as an extra key:
-  {"metric": "fwd_step_time_s", "value": ..., "unit": "s",
-   "vs_baseline": ..., "train_step_time_s": ...}
+Output protocol (both lines are valid driver metric lines; parsers that take
+the FIRST JSON line get the forward metric, parsers that take the LAST line
+get the same metric with the train-step time merged in):
+
+  1. The forward metric is printed AND FLUSHED the moment it is measured:
+       {"metric": "fwd_step_time_s", "value": ..., "unit": "s",
+        "vs_baseline": ..., "device_kind": ...}
+  2. The train bench then runs in a subprocess whose timeout is derived from
+     the REMAINING overall budget (``PANGU_BENCH_BUDGET`` seconds, default
+     480), never a fixed constant, and a final merged line is printed:
+       {... same keys ..., "train_step_time_s": ..., ...}
+
+This ordering exists because round 2's artifact was lost: the bench printed
+exactly one line at the very end, after a train subprocess with a fixed
+1500 s timeout, and the driver's harness killed the whole process (rc=124)
+before anything was flushed. A bench that measures but never reports is a
+failed bench.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_S = 1.0
-ROLLOUT_STEPS = 10
+_T0 = time.monotonic()
+
+
+def _budget_remaining() -> float:
+    """Seconds left of the overall bench budget (PANGU_BENCH_BUDGET, default
+    480 s — comfortably under typical driver step timeouts of ~600 s)."""
+    budget = float(os.environ.get("PANGU_BENCH_BUDGET", "480"))
+    return budget - (time.monotonic() - _T0)
+
+
+def _note(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache next to this file. Full-geometry
     compiles take minutes through a tunneled device; repeat bench runs on the
-    same chip should pay that once."""
-    import os
-
+    same chip kind should pay that once."""
     import jax
     from jax.experimental.compilation_cache import compilation_cache as cc
 
@@ -71,6 +96,7 @@ def main() -> None:
     ).astype(np.float32)
     surface = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
 
+    _note("init params")
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
 
     from functools import partial
@@ -78,7 +104,7 @@ def main() -> None:
     # aux is an ARGUMENT (closed-over full-geometry arrays become inlined
     # literals and can push the program past the remote-compile size cap)
     @partial(jax.jit, static_argnames=("steps",))
-    def rollout(params, upper, surface, aux, steps=ROLLOUT_STEPS):
+    def rollout(params, upper, surface, aux, steps):
         def step(carry, _):
             u, s = carry
             ou, os_ = model.apply(params, u, s, aux, True)
@@ -88,9 +114,6 @@ def main() -> None:
         (u, s), _ = jax.lax.scan(step, (upper, surface), length=steps)
         # scalar summary so timing includes no bulk device->host transfer
         return jnp.sum(u[:, 0, 0, ::360, ::360]) + jnp.sum(s[:, 0, ::360, ::360])
-
-    # warmup / compile
-    float(rollout(params, upper, surface, aux))
 
     # Difference of two rollout lengths cancels the host<->device round-trip
     # cost (seconds, and noisy, through tunneled devices), leaving per-step
@@ -105,16 +128,13 @@ def main() -> None:
         return best
 
     k_short, k_long = 5, 45
-    float(rollout(params, upper, surface, aux, k_short))  # compile
+    _note(f"compile+warm rollout steps={k_short}")
+    float(rollout(params, upper, surface, aux, k_short))
+    _note(f"compile+warm rollout steps={k_long}")
     float(rollout(params, upper, surface, aux, k_long))
+    _note("timing forward")
     value = (timed(k_long) - timed(k_short)) / (k_long - k_short)
 
-    # The train metric rides along; it must never take the primary forecast
-    # metric down with it. The full-geometry fwd+bwd program is the slowest
-    # compile in the repo and the tunneled remote-compile service has been
-    # seen dropping the connection mid-compile — so the train bench runs in
-    # a SUBPROCESS with a hard timeout (once it succeeds, the persistent
-    # compile cache makes reruns fast).
     result = {
         "metric": "fwd_step_time_s",
         "value": round(value, 5),
@@ -124,18 +144,35 @@ def main() -> None:
         # which one produced each number
         "device_kind": jax.devices()[0].device_kind,
     }
+    # FLUSH the primary metric NOW — the train bench below must never be able
+    # to take the forward number down with it.
+    print(json.dumps(result), flush=True)
+
     result.update(_train_metric_subprocess())
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 def _train_metric_subprocess() -> dict:
-    import os
-    import subprocess
-    import sys
+    """Train-step timing in a SUBPROCESS with a budget-derived hard timeout.
 
-    timeout = float(os.environ.get("PANGU_BENCH_TRAIN_TIMEOUT", "1500"))
-    if timeout <= 0:
-        return {"train_step_time_s": None, "train_step_error": "disabled"}
+    The full-geometry fwd+bwd program is the slowest compile in the repo and
+    the tunneled remote-compile service has been seen dropping the connection
+    mid-compile — so the train bench is isolated (once it succeeds, the
+    persistent compile cache makes reruns fast). The timeout is whatever is
+    left of the overall budget minus a reporting margin, never a fixed
+    constant bigger than the driver's patience.
+    """
+    import subprocess
+
+    override = os.environ.get("PANGU_BENCH_TRAIN_TIMEOUT")
+    if override is not None:
+        timeout = float(override)
+    else:
+        timeout = _budget_remaining() - 15.0
+    if timeout <= 30:
+        return {"train_step_time_s": None,
+                "train_step_error": f"skipped: {timeout:.0f}s left in budget"}
+    _note(f"train sub-bench, timeout {timeout:.0f}s")
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--train-only"],
@@ -179,7 +216,8 @@ def train_only() -> None:
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
     value = bench_train_step(cfg, model, aux, params, upper, surface)
     print(json.dumps({"train_step_time_s": round(value, 5),
-                      "train_device_kind": jax.devices()[0].device_kind}))
+                      "train_device_kind": jax.devices()[0].device_kind}),
+          flush=True)
 
 
 def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
@@ -228,16 +266,17 @@ def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
         return best
 
     k_short, k_long = 2, 8
+    _note(f"compile+warm train steps={k_short}")
     state, s = run(state, batch, aux, k_short)
     float(s)
+    _note(f"compile+warm train steps={k_long}")
     state, s = run(state, batch, aux, k_long)
     float(s)
+    _note("timing train")
     return (timed(k_long) - timed(k_short)) / (k_long - k_short)
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--train-only" in sys.argv:
         train_only()
     else:

@@ -60,6 +60,11 @@ class ModelConfig:
     dims: Tuple[int, ...] = (192, 384, 384, 192)
     mlp_ratio: int = 4
     drop_path_max: float = 0.2
+    # Attention-probability / projection / MLP dropout (reference
+    # models/layers.py:309,333 — instantiated at rate 0 in every published
+    # config; kept as capability). Rates > 0 route attention off the Pallas
+    # kernel during training.
+    dropout_rate: float = 0.0
 
     # Numerics
     param_dtype: str = "float32"

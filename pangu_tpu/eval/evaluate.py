@@ -200,10 +200,11 @@ def evaluate(
     return mean_loss
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def jitted_field_scorer(cfg: PanguConfig) -> Callable:
     """One jitted scorer per config — rollout engines over the same config
-    share the compiled program instead of re-jitting per engine call."""
+    share the compiled program instead of re-jitting per engine call.
+    Bounded: each entry pins a compiled executable for its cache lifetime."""
     import jax
 
     return jax.jit(make_field_scorer(cfg))

@@ -140,6 +140,9 @@ class EarthAttention3D(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # attention-probability + output-projection dropout (reference
+    # models/layers.py:333,469,482; rate 0 in all published configs)
+    dropout_rate: float = 0.0
     # fp32 inputs need HIGHEST or XLA lowers matmuls to bf16 passes on TPU
     # (and on CPU); irrelevant when compute_dtype is bfloat16.
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
@@ -151,6 +154,7 @@ class EarthAttention3D(nn.Module):
         mask: Optional[jnp.ndarray],
         epilogue: Optional[tuple] = None,
         collect_only: bool = False,
+        deterministic: bool = True,
     ):
         """epilogue: optional (ln_scale, ln_bias) — fuse the block's
         ``x + LayerNorm(attn(x))`` post-norm residual into the kernel.
@@ -174,7 +178,10 @@ class EarthAttention3D(nn.Module):
             return wqkv, bqkv, wproj, bproj, bias
         b, z, hp, w, c = x.shape
 
-        if self.use_pallas and jax.default_backend() == "tpu":
+        # An ACTIVE dropout (rate > 0, training) needs per-probability rng
+        # the fused kernel does not model — route to the XLA path then.
+        drop_active = self.dropout_rate > 0.0 and not deterministic
+        if self.use_pallas and jax.default_backend() == "tpu" and not drop_active:
             from pangu_tpu.ops.fused_block_attention import fused_block_attention
 
             ln_s = ln_b = None
@@ -212,6 +219,9 @@ class EarthAttention3D(nn.Module):
         if mask is not None:
             attn = attn + mask[None, None, :, None].astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(cdt)
+        # reference models/layers.py:469 — dropout on attention probabilities
+        attn = nn.Dropout(self.dropout_rate, name="attn_drop")(
+            attn, deterministic=deterministic)
         out = jnp.einsum(
             "bwnhqk,bwnkhd->bwnqhd", attn, v,
             precision=self.precision, preferred_element_type=jnp.float32,
@@ -224,4 +234,7 @@ class EarthAttention3D(nn.Module):
                        preferred_element_type=jnp.float32)
             + bproj.astype(jnp.float32)
         ).astype(cdt)
+        # reference models/layers.py:482 — dropout on the projected output
+        out = nn.Dropout(self.dropout_rate, name="proj_drop")(
+            out, deterministic=deterministic)
         return window_reverse(out, self.window, z, hp, w)

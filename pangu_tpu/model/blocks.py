@@ -70,11 +70,16 @@ class Mlp(nn.Module):
     ratio: int = 4
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # post-GELU and post-fc2 dropout (reference models/layers.py:309,314,316;
+    # rate 0 in all published configs)
+    dropout_rate: float = 0.0
+    use_pallas: bool = False
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ln: Optional[Tuple] = None,
-                 fused: bool = False, collect_only: bool = False):
+                 fused: bool = False, collect_only: bool = False,
+                 deterministic: bool = True):
         cdt = self.compute_dtype
         w1, b1 = DenseParams(self.dim, self.dim * self.ratio,
                              param_dtype=self.param_dtype, name="fc1")()
@@ -84,7 +89,8 @@ class Mlp(nn.Module):
             # hand the raw weights to a caller-side fused kernel (the block
             # megakernel) without changing the param tree layout
             return w1, b1, w2, b2
-        if fused:
+        drop_active = self.dropout_rate > 0.0 and not deterministic
+        if fused and not drop_active:
             from pangu_tpu.ops.fused_mlp import fused_mlp_block
 
             return fused_mlp_block(
@@ -92,15 +98,31 @@ class Mlp(nn.Module):
                 w2.astype(cdt), b2.astype(cdt),
                 ln[0].astype(jnp.float32), ln[1].astype(jnp.float32),
             )
+        assert not (fused and drop_active), \
+            "fused MLP tail has no dropout path; route training through " \
+            "the unfused formulation when dropout_rate > 0"
+        if self.use_pallas and not drop_active \
+                and jax.default_backend() == "tpu" \
+                and jnp.dtype(cdt) == jnp.bfloat16:
+            # flash-style custom_vjp: hidden recomputed in VMEM, never in HBM
+            # (the MLP backward dominated the train step's XLA bucket)
+            from pangu_tpu.ops.fused_mlp import fused_mlp
+
+            return fused_mlp(x.astype(cdt), w1.astype(cdt), b1.astype(cdt),
+                             w2.astype(cdt), b2.astype(cdt))
         h = (jnp.einsum("...c,cf->...f", x.astype(cdt), w1.astype(cdt),
                         precision=self.precision,
                         preferred_element_type=jnp.float32)
              + b1.astype(jnp.float32)).astype(cdt)
         h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout_rate, name="drop1")(
+            h, deterministic=deterministic)
         y = (jnp.einsum("...f,fc->...c", h, w2.astype(cdt),
                         precision=self.precision,
                         preferred_element_type=jnp.float32)
              + b2.astype(jnp.float32)).astype(cdt)
+        y = nn.Dropout(self.dropout_rate, name="drop2")(
+            y, deterministic=deterministic)
         return y
 
 
@@ -139,6 +161,7 @@ class EarthSpecificBlock(nn.Module):
     drop_path_rate: float
     shifted: bool
     mlp_ratio: int = 4
+    dropout_rate: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
@@ -155,7 +178,9 @@ class EarthSpecificBlock(nn.Module):
         ln2 = LayerNormParams(self.dim, self.param_dtype, name="norm2")()
         mlp = Mlp(self.dim, ratio=self.mlp_ratio,
                   compute_dtype=self.compute_dtype,
-                  param_dtype=self.param_dtype, precision=self.precision,
+                  param_dtype=self.param_dtype,
+                  dropout_rate=self.dropout_rate,
+                  use_pallas=self.use_pallas, precision=self.precision,
                   name="mlp")
 
         # Fused LN/residual epilogues are inference-only (stochastic depth
@@ -192,6 +217,7 @@ class EarthSpecificBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.use_pallas,
+            dropout_rate=self.dropout_rate,
             precision=self.precision,
             name="attn",
         )
@@ -222,7 +248,7 @@ class EarthSpecificBlock(nn.Module):
                 x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
             return x
 
-        x = attn(x, mask)
+        x = attn(x, mask, deterministic=deterministic)
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
@@ -230,7 +256,8 @@ class EarthSpecificBlock(nn.Module):
         # Post-norm residuals (reference models/layers.py:296-297).
         drop = DropPath(self.drop_path_rate, name="drop_path")
         x = shortcut + drop(apply_layer_norm(x, *ln1), deterministic)
-        x = x + drop(apply_layer_norm(mlp(x), *ln2), deterministic)
+        x = x + drop(apply_layer_norm(mlp(x, deterministic=deterministic),
+                                      *ln2), deterministic)
         return x
 
 
@@ -245,6 +272,7 @@ class EarthSpecificLayer(nn.Module):
     heads: int
     drop_path_rates: Tuple[float, ...]
     mlp_ratio: int = 4
+    dropout_rate: float = 0.0
     remat: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -273,6 +301,7 @@ class EarthSpecificLayer(nn.Module):
                 drop_path_rate=self.drop_path_rates[i],
                 shifted=bool(i % 2),
                 mlp_ratio=self.mlp_ratio,
+                dropout_rate=self.dropout_rate,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 use_pallas=self.use_pallas,

@@ -75,6 +75,7 @@ def backbone_modules(cfg: ModelConfig, deterministic: bool):
             heads=cfg.heads[i],
             drop_path_rates=dpr[i],
             mlp_ratio=cfg.mlp_ratio,
+            dropout_rate=cfg.dropout_rate,
             remat=remat,
             compute_dtype=cdt,
             param_dtype=pdt,

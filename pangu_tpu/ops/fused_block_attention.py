@@ -43,7 +43,6 @@ def _make_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
     wz, wh, ww = window
     wn = w // ww
     t = wz * wh * ww
-    rows = wz * wh * w
     d = c // heads
     prec = jax.lax.Precision.HIGHEST if precise else jax.lax.Precision.DEFAULT
 
@@ -213,7 +212,6 @@ def _forward(x, wqkv, bqkv, wproj, bproj, bias, mask, ln_scale, ln_bias,
     wz, wh, ww = window
     zn, hn = z // wz, hp // wh
     t = wz * wh * ww
-    rows = wz * wh * w
     precise = False  # bf16-only kernel; fp32 routed to XLA above
 
     grid = (b, zn, hn)
@@ -538,8 +536,14 @@ def fused_earth_block(x, wqkv, bqkv, wproj, bproj, bias, mask,
 
     x: (B, Z, Hp, W, C) on the (possibly rolled) window-padded grid; rolls
     commute with the per-token epilogues, so the caller un-rolls the output.
-    Inference path only (stochastic depth needs the unfused form); gradients
-    fall back to the XLA formulation.
+
+    INFERENCE-ONLY CONTRACT: stochastic depth needs the unfused form, and the
+    only backward this op could offer is a full duplicated XLA re-forward —
+    a silent ~2x cost for any training caller. Differentiating through it
+    therefore raises; training paths must use the unfused
+    ``fused_block_attention`` + ``fused_mlp`` pair (which have real flash
+    backwards). ``EarthSpecificLayer`` enforces this by gating the megakernel
+    to ``deterministic`` calls (model/blocks.py).
     """
     return _block_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
                           ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
@@ -560,7 +564,6 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
     wz, wh, ww = window
     zn, hn = z // wz, hp // wh
     t = wz * wh * ww
-    rows = wz * wh * w
     hidden = w1.shape[1]
 
     grid = (b, zn, hn)
@@ -628,16 +631,12 @@ def _block_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
 
 
 def _block_bwd(window, heads, scale, res, g):
-    (x, wqkv, bqkv, wproj, bproj, bias, mask,
-     ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b) = res
-    _, vjp = jax.vjp(
-        lambda *diff: _xla_block_reference(
-            diff[0], diff[1], diff[2], diff[3], diff[4], diff[5], mask,
-            *diff[6:], window, heads, scale),
-        x, wqkv, bqkv, wproj, bproj, bias,
-        ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b)
-    grads = vjp(g)
-    return grads[:6] + (None,) + grads[6:]
+    raise RuntimeError(
+        "fused_earth_block is inference-only: its backward would re-run the "
+        "entire block via XLA vjp (a hidden duplicated forward). Use the "
+        "unfused fused_block_attention + fused_mlp pair for training — "
+        "EarthSpecificLayer already routes non-deterministic calls there."
+    )
 
 
 fused_earth_block.defvjp(_block_fwd, _block_bwd)

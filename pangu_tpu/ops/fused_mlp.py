@@ -154,3 +154,200 @@ def _bwd(res, g):
 
 
 fused_mlp_block.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Raw MLP (no LN / residual) with a flash-style Pallas backward — the
+# TRAINING path. The training epilogue (LayerNorm + stochastic depth +
+# residual) must stay unfused, but the MLP itself is the dominant term of
+# the train step's XLA bucket: its backward materializes the (rows, 4C)
+# hidden twice in HBM. Here the forward saves only x; the backward
+# recomputes the hidden per row-chunk in VMEM and accumulates weight/bias
+# grads in VMEM-resident output blocks across the sequential grid (same
+# scheme as ops/fused_block_attention._make_bwd_kernel).
+# ---------------------------------------------------------------------------
+
+
+def _gelu_grad_f32(h):
+    """d/dh gelu(h) = Phi(h) + h * phi(h) (exact-erf form, matching
+    jax.nn.gelu(approximate=False) gradients)."""
+    phi = jnp.exp(np.float32(-0.5) * h * h) * np.float32(0.3989422804014327)
+    cdf = 0.5 * (1.0 + _erf_f32(h * np.float32(0.7071067811865476)))
+    return cdf + h * phi
+
+
+def _make_raw_fwd_kernel():
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+        x = x_ref[:]
+        h = jax.lax.dot_general(
+            x, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:].astype(jnp.float32)
+        h = _gelu_exact_f32(h).astype(x.dtype)
+        y = jax.lax.dot_general(
+            h, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:].astype(jnp.float32)
+        out_ref[:] = y.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_raw_bwd_kernel():
+    def kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref,
+               dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_ref[:] = jnp.zeros_like(dw1_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+
+        def dot(a, b, ta=False, tb=False):
+            dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        x = x_ref[:]
+        g = g_ref[:]
+        gf = g.astype(jnp.float32)
+
+        # recompute the hidden pre-activation (never stored in HBM)
+        h = dot(x, w1_ref[:]) + b1_ref[:].astype(jnp.float32)
+        a = _gelu_exact_f32(h).astype(x.dtype)
+
+        db2_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
+        dw2_ref[:] += dot(a, g, ta=True)
+
+        dh = dot(g, w2_ref[:], tb=True) * _gelu_grad_f32(h)
+        dhw = dh.astype(x.dtype)
+        db1_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+        dw1_ref[:] += dot(x, dhw, ta=True)
+        dx_ref[:] = dot(dhw, w1_ref[:], tb=True).astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _raw_xla(x2d, w1, b1, w2, b2, precision=None):
+    h = (jnp.einsum("rc,cf->rf", x2d, w1, precision=precision,
+                    preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32)).astype(x2d.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return (jnp.einsum("rf,fc->rc", h, w2, precision=precision,
+                       preferred_element_type=jnp.float32)
+            + b2.astype(jnp.float32)).astype(x2d.dtype)
+
+
+def _use_pallas_mlp(x, rows: int, c: int) -> int:
+    """Chunk size if the Pallas path applies, else 0."""
+    if jax.default_backend() != "tpu" or x.dtype == jnp.float32:
+        return 0
+    return _pick_chunk(rows, c)
+
+
+@jax.custom_vjp
+def fused_mlp(x, w1, b1, w2, b2):
+    """Raw MLP: (..., C) -> GELU(x@W1+b1)@W2+b2 with a flash-style Pallas
+    backward on TPU bf16 (XLA einsums elsewhere). Unlike
+    :func:`fused_mlp_block` this stops before LayerNorm/residual, so the
+    training epilogue (stochastic depth) composes around it."""
+    return _raw_forward(x, w1, b1, w2, b2)
+
+
+def _raw_forward(x, w1, b1, w2, b2):
+    shape = x.shape
+    c = shape[-1]
+    rows = int(np.prod(shape[:-1]))
+    x2d = x.reshape(rows, c)
+    chunk = _use_pallas_mlp(x, rows, c)
+    if chunk == 0:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+        return _raw_xla(x2d, w1, b1, w2, b2, precision=prec).reshape(shape)
+
+    hidden = w1.shape[1]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _make_raw_fwd_kernel(),
+        grid=(rows // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec(w1), const_spec(b1), const_spec(w2), const_spec(b2),
+        ],
+        out_specs=pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * c * hidden * 2,
+            bytes_accessed=2 * rows * c * x.dtype.itemsize,
+            transcendentals=rows * hidden,
+        ),
+    )(x2d, w1, b1, w2, b2)
+    return out.reshape(shape)
+
+
+def _raw_fwd(x, w1, b1, w2, b2):
+    return _raw_forward(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _raw_bwd(res, g):
+    x, w1, b1, w2, b2 = res
+    shape = x.shape
+    c = shape[-1]
+    rows = int(np.prod(shape[:-1]))
+    x2d = x.reshape(rows, c)
+    g2d = g.reshape(rows, c)
+
+    chunk = _use_pallas_mlp(x, rows, c)
+    if chunk == 0:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+        _, vjp = jax.vjp(
+            lambda *a: _raw_xla(*a, precision=prec), x2d, w1, b1, w2, b2)
+        dx, dw1, db1, dw2, db2 = vjp(g2d)
+        return dx.reshape(shape), dw1, db1, dw2, db2
+
+    hidden = w1.shape[1]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    chunk_spec = pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    acc = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                   memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _make_raw_bwd_kernel(),
+        grid=(rows // chunk,),
+        in_specs=[chunk_spec, chunk_spec,
+                  const_spec(w1), const_spec(b1), const_spec(w2)],
+        out_specs=(chunk_spec, acc((c, hidden)), acc((1, hidden)),
+                   acc((hidden, c)), acc((1, c))),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, c), x.dtype),
+            jax.ShapeDtypeStruct((c, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * c * hidden * 2,
+            bytes_accessed=3 * rows * c * x.dtype.itemsize,
+            transcendentals=2 * rows * hidden,
+        ),
+    )(x2d, g2d, w1, b1, w2)
+    return (dx.reshape(shape), dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
+
+
+fused_mlp.defvjp(_raw_fwd, _raw_bwd)

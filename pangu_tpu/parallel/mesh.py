@@ -59,19 +59,32 @@ def is_main() -> bool:
     return jax.process_index() == 0
 
 
-def ensure_virtual_devices(n_devices: int):
+def ensure_virtual_devices(n_devices: int, allow_replace_backend: bool = False):
     """Bootstrap an n-device virtual CPU platform when real devices are
     insufficient (the TPU-native answer to \"multi-node without a cluster\",
     SURVEY §4). Env vars do NOT work here: the axon TPU plugin re-inserts
     itself into ``jax_platforms`` at import time — so pin the platform via
     jax.config, clearing any live backend first (jax refuses to change
-    ``jax_num_cpu_devices`` once one exists)."""
+    ``jax_num_cpu_devices`` once one exists).
+
+    DESTRUCTIVE when it fires: the live backend (possibly a real TPU) is
+    gone for the rest of the process. Validation entry points (the driver
+    dryrun, --virtual-devices CLIs) opt in deliberately; library callers on
+    a real multi-device backend should pass ``allow_replace_backend=False``
+    so a mistyped mesh size fails loudly instead of degrading to CPU.
+    """
     try:
         have = len(jax.devices())
     except Exception:
         have = 0
     if have >= n_devices:
         return jax.devices()[:n_devices]
+    if not allow_replace_backend:
+        raise RuntimeError(
+            f"need {n_devices} devices but only {have} exist, and replacing "
+            f"the live backend with virtual CPU devices was not allowed "
+            f"(pass allow_replace_backend=True for sharding-validation mode)"
+        )
     import logging
 
     logging.getLogger("pangu_tpu").warning(

@@ -19,13 +19,16 @@ from pangu_tpu.aux import AuxConstants, norm_back_data
 from pangu_tpu.model import PanguModel
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def make_forecast_step(model: PanguModel, donate: bool = True) -> Callable:
     """(params, upper, surface, aux) -> (upper', surface') in physical units.
 
     Cached per (model, donate): every ModelBundle over the same architecture
     shares one jitted program instead of recompiling (flax Modules are frozen
-    dataclasses, so they hash by configuration)."""
+    dataclasses, so they hash by configuration). Each cached entry pins a
+    compiled executable for the cache's lifetime; the bound covers the
+    largest real workload (4-model mix24 bundles) with room to spare while
+    letting abandoned configs be evicted."""
 
     def step(params, upper, surface, aux: AuxConstants):
         ou, os_ = model.apply(params, upper, surface, aux, True)

@@ -180,9 +180,9 @@ def multi_output_rollout(
                 raise ValueError(
                     f"rollout frame {current:%Y%m%d%H} has no ground truth in "
                     f"the test range ({min(dataset.keys):%Y%m%d%H}.."
-                    f"{last_key:%Y%m%d%H} @ {dataset.freq}): the frame cadence "
-                    f"(base horizon {base_horizon}h) must divide the dataset "
-                    f"frequency"
+                    f"{last_key:%Y%m%d%H} @ {dataset.freq}): the dataset "
+                    f"frequency ({dataset.freq}h) must divide the frame "
+                    f"cadence (base horizon {base_horizon}h)"
                 )
             gt_upper, gt_surface = dataset.store.load(current)
             scores = scorer(u_sc[0], s_sc[0], gt_upper, gt_surface, b.aux)

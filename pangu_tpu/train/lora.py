@@ -130,10 +130,13 @@ def make_lora_train_step(
     from pangu_tpu.train.step import TrainState, loss_fn
 
     def step(state: TrainState, batch, aux, rng):
+        r_path, r_drop = jax.random.split(rng)
+
         def lora_loss(trainable):
             params = merge_params(base_params, trainable, lora_cfg)
             return loss_fn(model, params, batch, aux, cfg,
-                           {"droppath": rng}, deterministic=False)
+                           {"droppath": r_path, "dropout": r_drop},
+                           deterministic=False)
 
         loss, grads = jax.value_and_grad(lora_loss)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

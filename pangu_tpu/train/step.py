@@ -88,7 +88,8 @@ def make_train_step(
     accum = cfg.train.accumulation_steps
 
     def single_grads(params, batch, aux, rng):
-        rngs = {"droppath": rng}
+        r_path, r_drop = jax.random.split(rng)
+        rngs = {"droppath": r_path, "dropout": r_drop}
         return jax.value_and_grad(
             lambda p: loss_fn(model, p, batch, aux, cfg, rngs, deterministic=False)
         )(params)

@@ -32,7 +32,7 @@ from pangu_tpu.utils.logger import get_logger
 
 
 def sharded_val_stats(
-    eval_step, params, val_loader, aux, index: int, count: int
+    eval_step, params, val_loader, aux, count: int
 ) -> Tuple[float, int]:
     """(loss_sum, n_batches) over the validation set, multi-host safe.
 
@@ -169,6 +169,12 @@ class Trainer:
         bad_steps = 0
         profiling = False
         for epoch in range(start_epoch, cfg.train.epochs + 1):
+            # Pin the shuffle schedule to the trainer's epoch number so a
+            # RESUMED run continues the sample-order sequence instead of
+            # replaying epoch 1's order (a fresh BatchLoader starts at its
+            # internal epoch 0 regardless of start_epoch).
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             if self.profile_dir and epoch == start_epoch:
                 jax.profiler.start_trace(self.profile_dir)
                 profiling = True
@@ -211,7 +217,7 @@ class Trainer:
             if val_loader is not None and epoch % cfg.train.val_interval == 0:
                 loss_sum, n_val = sharded_val_stats(
                     self.eval_step, state.params, val_loader, self.aux,
-                    jax.process_index(), jax.process_count(),
+                    jax.process_count(),
                 )
                 val_loss = _global_val_loss(loss_sum, n_val)
                 if is_main:

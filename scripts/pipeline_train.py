@@ -38,7 +38,8 @@ def main() -> None:
     if args.virtual_devices:
         from pangu_tpu.parallel.mesh import ensure_virtual_devices
 
-        ensure_virtual_devices(args.virtual_devices)
+        # the explicit --virtual-devices flag IS the opt-in
+        ensure_virtual_devices(args.virtual_devices, allow_replace_backend=True)
 
     distributed_init()
     cfg = build_config(args)

@@ -161,5 +161,5 @@ def test_sharded_val_stats_lockstep():
         return losses[batch[0]]
 
     for count in (1, 4):
-        s, n = sharded_val_stats(eval_step, None, loader, None, 0, count)
+        s, n = sharded_val_stats(eval_step, None, loader, None, count)
         assert (s, n) == (15.0, 5)

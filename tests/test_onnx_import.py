@@ -281,3 +281,104 @@ def test_derive_rejects_wrong_geometry(tmp_path):
     wrong = pangu_tiny(dims=(24, 48, 48, 24)).model
     with pytest.raises(ValueError, match="could not locate"):
         derive_name_map(wrong, nodes, {k: v.shape for k, v in weights.items()})
+
+
+def test_derive_name_map_reproduces_reference_csv():
+    """Reconstruct the OFFICIAL export's node stream from the reference's
+    hand-made keys_all.csv (223 pairs, real ``onnx::MatMul_N`` /
+    ``b1.aN.*`` names) at flagship geometry, and assert the structural
+    derivation reproduces the CSV exactly — the closest stand-in for the
+    real ONNX files in a zero-egress environment (VERDICT r2 #4)."""
+    csv_path = "/root/reference/keys_all.csv"
+    if not os.path.exists(csv_path):
+        pytest.skip("reference keys_all.csv unavailable")
+
+    from pangu_tpu.config import ModelConfig
+    from pangu_tpu.interop.onnx_import import load_name_map
+    from pangu_tpu.interop.onnx_wire import OnnxNode
+
+    cfg = ModelConfig()
+    geo = compute_geometry(cfg)
+    t = geo.outer.tokens_per_window
+    csv_map = load_name_map(csv_path)
+    assert len(csv_map) == 223
+
+    nodes = []
+    shapes = {}
+    matmul_order = []
+    tid = itertools.count(1)
+    cur = ["input"]
+
+    def tname():
+        return f"t{next(tid)}"
+
+    def emit(op, torch_key, shape, extra_first=None):
+        onnx_name = csv_map[torch_key]
+        shapes[onnx_name] = shape
+        if onnx_name.startswith("onnx::MatMul_"):
+            matmul_order.append(int(onnx_name.rsplit("_", 1)[1]))
+        o = tname()
+        ins = ([cur[0], onnx_name] if extra_first is None
+               else [cur[0]] + extra_first + [onnx_name])
+        nodes.append(OnnxNode(op, f"n{o}", tuple(ins), (o,)))
+        cur[0] = o
+
+    def conv(prefix, out_ch, in_ch):
+        w, b = csv_map[prefix + ".weight"], csv_map[prefix + ".bias"]
+        shapes[w], shapes[b] = (out_ch, in_ch, 1), (out_ch,)
+        o = tname()
+        nodes.append(OnnxNode("Conv", f"n{o}", (cur[0], w, b), (o,)))
+        cur[0] = o
+
+    def layer_norm(prefix, dim):
+        # the official export decomposes LayerNorm into Mul (scale) + Add
+        emit("Mul", prefix + ".weight", (dim,))
+        emit("Add", prefix + ".bias", (dim,))
+
+    def block(i, j):
+        ref = f"layers.EarthSpecificLayer{i}.blocks.EarthSpecificBlock{j}."
+        c, heads = cfg.dims[i], cfg.heads[i]
+        nt = (geo.outer if i in (0, 3) else geo.inner).n_type_windows
+        emit("MatMul", ref + "attention.linear1.weight", (c, 3 * c))
+        emit("Add", ref + "attention.linear1.bias", (3 * c,))
+        emit("Add", ref + "attention.earth_specific_bias",
+             (1, nt, heads, t, t))
+        nodes.append(OnnxNode("Softmax", f"sm{i}_{j}", (cur[0],),
+                              (tname(),)))
+        emit("MatMul", ref + "attention.linear2.weight", (c, c))
+        emit("Add", ref + "attention.linear2.bias", (c,))
+        layer_norm(ref + "norm1", c)
+        emit("MatMul", ref + "linear.linear1.weight", (c, cfg.mlp_ratio * c))
+        emit("Add", ref + "linear.linear1.bias", (cfg.mlp_ratio * c,))
+        emit("MatMul", ref + "linear.linear2.weight", (cfg.mlp_ratio * c, c))
+        emit("Add", ref + "linear.linear2.bias", (c,))
+        layer_norm(ref + "norm2", c)
+
+    conv("_input_layer.conv", cfg.dims[0], cfg.embed_upper_channels)
+    conv("_input_layer.conv_surface", cfg.dims[0], cfg.embed_surface_channels)
+    for j in range(cfg.depths[0]):
+        block(0, j)
+    layer_norm("downsample.norm", 4 * cfg.dims[0])
+    emit("MatMul", "downsample.linear.weight", (4 * cfg.dims[0], cfg.dims[1]))
+    for i in (1, 2):
+        for j in range(cfg.depths[i]):
+            block(i, j)
+    emit("MatMul", "upsample.linear1.weight", (cfg.dims[2], 4 * cfg.dims[3]))
+    layer_norm("upsample.norm", cfg.dims[3])
+    emit("MatMul", "upsample.linear2.weight", (cfg.dims[3], cfg.dims[3]))
+    for j in range(cfg.depths[3]):
+        block(3, j)
+    cin = cfg.dims[3] + cfg.dims[0]
+    conv("_output_layer.conv", cfg.recovery_upper_channels, cin)
+    conv("_output_layer.conv_surface", cfg.recovery_surface_channels, cin)
+
+    assert len(shapes) == 223  # every CSV name appears exactly once
+
+    # The export assigns onnx::MatMul_N ids in graph order: the CSV ids must
+    # be strictly increasing along our assumed execution order — independent
+    # evidence that _expected_stream's order matches the real artifact.
+    assert matmul_order == sorted(matmul_order)
+    assert len(set(matmul_order)) == len(matmul_order)
+
+    derived = derive_name_map(cfg, nodes, shapes)
+    assert derived == csv_map

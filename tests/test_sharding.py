@@ -287,11 +287,11 @@ def test_lockstep_val_assembly_matches_local():
         eval_step = jax.jit(make_eval_step(model, cfg))
 
         plain_sum, plain_n = sharded_val_stats(
-            eval_step, state.params, batches, aux, 0, 1)
+            eval_step, state.params, batches, aux, 1)
         # count > 1 switches on global assembly; single-process local data
         # IS the full global batch, so the score must be identical
         lock_sum, lock_n = sharded_val_stats(
-            eval_step, state.params, batches, aux, 0, 2)
+            eval_step, state.params, batches, aux, 2)
     assert plain_n == lock_n == 2
     np.testing.assert_allclose(lock_sum, plain_sum, rtol=1e-6)
 
@@ -308,3 +308,18 @@ def test_graft_entry_signature():
 
     assert callable(ge.entry)
     assert callable(ge.dryrun_multichip)
+
+
+def test_ensure_virtual_devices_requires_opt_in():
+    """Replacing a live backend with virtual CPU devices is destructive for
+    the rest of the process; without the explicit opt-in it must raise
+    instead of silently degrading a real run to CPU (ADVICE r2)."""
+    import pytest
+
+    from pangu_tpu.parallel.mesh import ensure_virtual_devices
+
+    have = len(jax.devices())
+    # satisfiable requests never touch the backend
+    assert len(ensure_virtual_devices(min(have, 1))) == min(have, 1)
+    with pytest.raises(RuntimeError, match="allow_replace_backend"):
+        ensure_virtual_devices(have + 8)

@@ -207,3 +207,36 @@ def test_onehot_patchify_matches_reshape(rng):
         emb_mod._use_onehot = orig
     d = np.abs(np.asarray(out1, np.float32) - np.asarray(out2, np.float32)).max()
     assert d < 1e-2
+
+
+@pytest.mark.parametrize("rows,c", [(1440 * 4, 192), (720 * 4, 384)])
+def test_fused_mlp_raw_grads_match_xla(rng, rows, c):
+    """The raw-MLP flash backward (hidden recomputed in VMEM) must agree
+    with the XLA einsum-chain gradients (round-3 train-step lever)."""
+    from pangu_tpu.ops.fused_mlp import _raw_xla, fused_mlp
+
+    x = jnp.asarray(rng.standard_normal((rows, c)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((4 * c,)) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+
+    got = np.asarray(jax.jit(fused_mlp)(x, w1, b1, w2, b2), np.float32)
+    ref = np.asarray(_raw_xla(x, w1, b1, w2, b2), np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+    def loss_pallas(*a):
+        return jnp.sum(jnp.cos(fused_mlp(*a).astype(jnp.float32)))
+
+    def loss_xla(*a):
+        return jnp.sum(jnp.cos(_raw_xla(*a).astype(jnp.float32)))
+
+    args = (x, w1, b1, w2, b2)
+    gp = jax.jit(jax.grad(loss_pallas, argnums=tuple(range(5))))(*args)
+    gx = jax.jit(jax.grad(loss_xla, argnums=tuple(range(5))))(*args)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), gp, gx):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 2e-2, name

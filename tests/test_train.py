@@ -89,10 +89,14 @@ def test_train_step_reduces_loss(setup):
 
 def test_accumulation_matches_large_batch(setup):
     """grad(mean of micro losses) == mean of micro grads: one accumulated
-    step over (2, 1, ...) must equal one step over batch 2."""
+    step over (2, 1, ...) must equal one step over batch 2. Stochastic depth
+    must be OFF: the two formulations draw per-sample droppath masks from
+    different rng streams, so the identity only holds deterministically."""
     import dataclasses
 
     cfg, model, aux = setup
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, drop_path_max=0.0))
+    model = PanguModel(cfg.model)
     loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, batch_size=2)
     big, _ = next(iter(loader))
 
@@ -130,3 +134,106 @@ def test_trainer_fit_and_early_stop(setup, tmp_path):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+
+
+def test_resume_shuffle_continuity(setup):
+    """A RESUMED run must continue the shuffle-order sequence, not replay
+    epoch 1's order: Trainer.fit pins the loader's shuffle epoch to the
+    trainer epoch, and BatchLoader's per-epoch orders are deterministic and
+    distinct."""
+    import dataclasses
+
+    cfg, model, aux = setup
+
+    # (a) BatchLoader order is a pure function of set_epoch, and differs
+    # between epochs.
+    loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1)
+    assert loader.shuffle
+    loader.set_epoch(1)
+    order1 = list(loader._indices())
+    loader.set_epoch(2)
+    order2 = list(loader._indices())
+    loader.set_epoch(1)
+    assert list(loader._indices()) == order1
+    assert order1 != order2
+
+    # (b) Trainer.fit drives set_epoch with the RUNNING epoch number, so a
+    # resume at epoch 5 sees epoch-5 order, not epoch-1 order.
+    batch, _ = next(iter(loader))
+
+    class RecordingLoader(list):
+        def __init__(self, items):
+            super().__init__(items)
+            self.epochs = []
+
+        def set_epoch(self, epoch):
+            self.epochs.append(epoch)
+
+    rec = RecordingLoader([(batch, None)])
+    cfg6 = cfg.replace(train=dataclasses.replace(cfg.train, epochs=6))
+    trainer = Trainer(cfg6, model, aux, "/tmp/pangu_resume_test",
+                      steps_per_epoch=1)
+    trainer.fit(rec, start_epoch=5)
+    assert rec.epochs == [5, 6]
+
+
+def test_dropout_capability(setup):
+    """Reference layers.py:309,333 instantiate nn.Dropout (rate 0 in every
+    published config). Capability parity: rate > 0 perturbs training-mode
+    outputs per-rng, is ignored when deterministic, and leaves the param
+    tree unchanged."""
+    import dataclasses
+
+    cfg, model, aux = setup
+    m = cfg.model
+    cfg_d = dataclasses.replace(m, dropout_rate=0.5)
+    model_d = PanguModel(cfg_d)
+
+    rng = np.random.default_rng(7)
+    upper = rng.standard_normal(
+        (1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    surface = rng.standard_normal(
+        (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+
+    params = model.init(jax.random.PRNGKey(0), upper, surface, aux)
+    params_d = model_d.init(jax.random.PRNGKey(0), upper, surface, aux)
+    assert (jax.tree.structure(params) == jax.tree.structure(params_d))
+
+    # deterministic: dropout is a no-op regardless of rate
+    base_u, _ = model.apply(params, upper, surface, aux, True)
+    det_u, _ = model_d.apply(params, upper, surface, aux, True)
+    np.testing.assert_allclose(np.asarray(det_u), np.asarray(base_u))
+
+    # training mode: different dropout rngs give different outputs
+    rngs_a = {"droppath": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    rngs_b = {"droppath": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(3)}
+    out_a, _ = model_d.apply(params, upper, surface, aux, False, rngs=rngs_a)
+    out_b, _ = model_d.apply(params, upper, surface, aux, False, rngs=rngs_b)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_fused_earth_block_backward_is_forbidden():
+    """fused_earth_block is inference-only: its only possible backward is a
+    full duplicated XLA re-forward, so differentiating through it must fail
+    loudly instead of silently doubling training cost (VERDICT r2 weak #4)."""
+    from pangu_tpu.ops.fused_block_attention import fused_earth_block
+
+    c, heads = 8, 2
+    window = (1, 2, 2)
+    t = 4
+    x = jnp.ones((1, 1, 2, 4, c), jnp.float32)
+    args = (
+        jnp.ones((c, 3 * c)), jnp.zeros((3 * c,)),
+        jnp.ones((c, c)), jnp.zeros((c,)),
+        jnp.zeros((1, heads, t, t)), None,
+        jnp.ones((c,)), jnp.zeros((c,)),
+        jnp.ones((c, 4 * c)), jnp.zeros((4 * c,)),
+        jnp.ones((4 * c, c)), jnp.zeros((c,)),
+        jnp.ones((c,)), jnp.zeros((c,)),
+    )
+    # forward works
+    out = fused_earth_block(x, *args, window, heads, 1.0)
+    assert out.shape == x.shape
+    with pytest.raises(RuntimeError, match="inference-only"):
+        jax.grad(lambda x_: jnp.sum(fused_earth_block(
+            x_, *args, window, heads, 1.0)))(x)
