@@ -38,9 +38,18 @@ the reverse rotation, so the gradient drains back through the ring in
 reverse schedule order — XLA derives the 1F1B-equivalent comm pattern that
 DeepSpeed hand-implements.
 
-Stochastic depth is disabled in pipeline mode (the reference's pipeline
-prototype is likewise a smoke-level trainer); per-block rematerialization
-stays on for training.
+Stochastic depth works in pipeline mode: a base rng is folded with the tick
+index and the stage id inside the scan, so every (stage, microbatch) pair
+draws an independent droppath stream (the reference's pipeline prototype is
+droppath-free smoke; this closes that divergence). Per-block
+rematerialization stays on for training.
+
+Transport dtype: inter-stage activations travel in ``transport_dtype``
+(default bfloat16 when the model computes in bf16 — halves ring-transfer
+bytes). Raw PHYSICAL inputs never ride the ring in reduced precision:
+stage 0 reads its microbatch directly from the (replicated) f32 input
+arrays, bypassing the transport buffer, because bf16-rounding pre-
+normalization magnitudes (Z ~ 5e4) would cost ~3% of a std-dev.
 """
 
 from __future__ import annotations
@@ -108,29 +117,28 @@ class PanguStage(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, payload: Tuple[jnp.ndarray, ...], aux: AuxConstants
-                 ) -> Tuple[jnp.ndarray, ...]:
-        # deterministic=False only to enable remat in backbone_modules; the
-        # layers themselves are invoked deterministically (no droppath).
+    def __call__(self, payload: Tuple[jnp.ndarray, ...], aux: AuxConstants,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
         _, mods = backbone_modules(self.cfg, deterministic=not self.remat)
+        det = deterministic
         if self.stage_id == 0:
             upper, surface = payload
             x = mods["patch_embed"](upper, surface, aux)
-            x = mods["layer0"](x, True)
+            x = mods["layer0"](x, det)
             return (x,)
         if self.stage_id == 1:
             (x,) = payload
             skip = x
             y = mods["downsample"](x)
-            y = mods["layer1"](y, True)
+            y = mods["layer1"](y, det)
             return (y, skip)
         if self.stage_id == 2:
             y, skip = payload
-            y = mods["layer2"](y, True)
+            y = mods["layer2"](y, det)
             return (y, skip)
         y, skip = payload
         y = mods["upsample"](y)
-        y = mods["layer3"](y, True)
+        y = mods["layer3"](y, det)
         y = jnp.concatenate([skip, y], axis=-1)
         return mods["patch_recovery"](y)
 
@@ -190,7 +198,8 @@ class PanguPipeline:
     importers speak the tree form).
     """
 
-    def __init__(self, cfg: PanguConfig, mesh: Mesh, params_template: Any):
+    def __init__(self, cfg: PanguConfig, mesh: Mesh, params_template: Any,
+                 transport_dtype: Optional[Any] = None):
         if mesh.shape.get("pipe") != NUM_STAGES:
             raise ValueError(
                 f"pipeline needs a 'pipe' mesh axis of size {NUM_STAGES}, "
@@ -201,6 +210,12 @@ class PanguPipeline:
                              "(lat/lon) sharding; use PP x DP")
         self.cfg = cfg
         self.mesh = mesh
+        # inter-stage ring transfers ride in the model's compute dtype by
+        # default (half the bytes for bf16 models); see module docstring for
+        # why raw inputs bypass this buffer
+        self.transport_dtype = jnp.dtype(
+            transport_dtype if transport_dtype is not None
+            else cfg.model.compute_dtype)
         stage_trees = split_stage_params(params_template)
         self._unravels: List[Callable] = []
         self._sizes: List[int] = []
@@ -234,10 +249,15 @@ class PanguPipeline:
 
     def _apply(self, stacked: jax.Array, upper: jnp.ndarray,
                surface: jnp.ndarray, aux: AuxConstants, num_microbatches: int,
-               remat: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               remat: bool, rng: Optional[jax.Array] = None,
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pipelined forward. upper (B, Vu, L, lat, lon) / surface
         (B, Vs, lat, lon); B must be divisible by num_microbatches x the
-        data-axis size. Returns model outputs in normalized space, (B, ...)."""
+        data-axis size. Returns model outputs in normalized space, (B, ...).
+
+        With ``rng`` set, stochastic depth (and dropout) run live: the key
+        is folded with (tick, stage) inside the schedule so every
+        (stage, microbatch) application draws an independent stream."""
         cfg, mcfg = self.cfg, self.cfg.model
         mesh, S, M = self.mesh, NUM_STAGES, num_microbatches
         dp = mesh.shape.get("data", 1)
@@ -251,14 +271,31 @@ class PanguPipeline:
         sizes = [sum(int(np.prod(s)) for s in shp) for shp in shapes]
         buf_size = max(sizes)
         out_size = sizes[-1]
-        bdt = jnp.float32  # transport dtype (see module docstring)
+        bdt = self.transport_dtype
+        deterministic = rng is None
+        if deterministic:
+            rng = jax.random.PRNGKey(0)  # untouched placeholder
         unravels, psizes = self._unravels, self._sizes
 
         def stage_branch(i: int):
-            def branch(local_flat, buf, aux):
+            def branch(local_flat, buf, aux, mu, ms, m, key):
                 p = unravels[i](local_flat[: psizes[i]])
-                payload = _unpack(buf, shapes[i])
-                out = PanguStage(mcfg, i, remat=remat).apply(p, tuple(payload), aux)
+                if i == 0:
+                    # microbatch enters HERE, straight from the replicated
+                    # f32 inputs — never rounded to the transport dtype
+                    payload = (
+                        jax.lax.dynamic_index_in_dim(mu, m, 0, False),
+                        jax.lax.dynamic_index_in_dim(ms, m, 0, False),
+                    )
+                else:
+                    payload = tuple(_unpack(buf, shapes[i]))
+                stage = PanguStage(mcfg, i, remat=remat)
+                if deterministic:
+                    out = stage.apply(p, payload, aux)
+                else:
+                    kp, kd = jax.random.split(key)
+                    out = stage.apply(p, payload, aux, False,
+                                      rngs={"droppath": kp, "dropout": kd})
                 return _pack(out, buf_size, bdt)
             return branch
 
@@ -270,23 +307,20 @@ class PanguPipeline:
         @partial(
             _shard_map,
             mesh=mesh,
-            in_specs=(P("pipe", None), io_spec_u, io_spec_s, P()),
+            in_specs=(P("pipe", None), io_spec_u, io_spec_s, P(), P()),
             out_specs=(io_spec_u, io_spec_s),
             check_vma=False,
         )
-        def run(flat_block, micro_u, micro_s, aux):
+        def run(flat_block, micro_u, micro_s, aux, rng):
             sid = jax.lax.axis_index("pipe")
             local_flat = flat_block[0]
 
             def tick(carry, t):
                 buf, outs = carry
                 m = jnp.minimum(t, M - 1)
-                inj = _pack(
-                    (jax.lax.dynamic_index_in_dim(micro_u, m, 0, False),
-                     jax.lax.dynamic_index_in_dim(micro_s, m, 0, False)),
-                    buf_size, bdt)
-                buf = jnp.where((sid == 0) & (t < M), inj, buf)
-                out = jax.lax.switch(sid, branches, local_flat, buf, aux)
+                key = jax.random.fold_in(jax.random.fold_in(rng, t), sid)
+                out = jax.lax.switch(sid, branches, local_flat, buf, aux,
+                                     micro_u, micro_s, m, key)
                 j = t - (S - 1)
                 upd = jax.lax.dynamic_update_slice(
                     outs, out[None, :out_size], (jnp.maximum(j, 0), 0))
@@ -310,7 +344,7 @@ class PanguPipeline:
 
         micro_u = upper.reshape((M, B // M) + upper.shape[1:])
         micro_s = surface.reshape((M, B // M) + surface.shape[1:])
-        u, s = run(stacked, micro_u, micro_s, aux)
+        u, s = run(stacked, micro_u, micro_s, aux, rng)
         return (u.reshape((B,) + u.shape[2:]).astype(jnp.float32),
                 s.reshape((B,) + s.shape[2:]).astype(jnp.float32))
 
@@ -328,18 +362,21 @@ class PanguPipeline:
         return fwd
 
     def make_train_step(self, optimizer, num_microbatches: int) -> Callable:
-        """jitted (state, batch, aux) -> (state, loss) with the same loss
-        semantics as train/step.py (weighted L1 on normalized targets).
-        ``state.params`` is the stacked flat (S, Pmax) array; optimizer
-        state shards along with it."""
+        """jitted (state, batch, aux, rng=None) -> (state, loss) with the
+        same loss semantics as train/step.py (weighted L1 on normalized
+        targets). ``state.params`` is the stacked flat (S, Pmax) array;
+        optimizer state shards along with it. Pass ``rng`` to enable
+        stochastic depth / dropout (omitted -> deterministic forward, the
+        pre-round-3 behavior)."""
         from pangu_tpu.train.loss import weighted_l1_loss
         from pangu_tpu.train.step import TrainState
 
         cfg = self.cfg
 
-        def loss_fn(stacked, batch, aux):
+        def loss_fn(stacked, batch, aux, rng):
             out_u, out_s = self._apply(stacked, batch.upper, batch.surface,
-                                       aux, num_microbatches, remat=True)
+                                       aux, num_microbatches, remat=True,
+                                       rng=rng)
             tgt_u, tgt_s = norm_data(batch.target_upper, batch.target_surface,
                                      aux)
             mask = aux.custom_mask if cfg.train.use_custom_mask else None
@@ -360,14 +397,19 @@ class PanguPipeline:
                 tree,
             )
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def step(state: TrainState, batch, aux):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, aux)
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+        def _step(state: TrainState, batch, aux, has_rng, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, aux, rng if has_rng else None)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = jax.tree.map(jnp.add, state.params, updates)
             return TrainState(pin(params), pin(opt_state),
                               state.step + 1), loss
+
+        def step(state, batch, aux, rng=None):
+            return _step(state, batch, aux, rng is not None,
+                         rng if rng is not None else jax.random.PRNGKey(0))
 
         return step
 

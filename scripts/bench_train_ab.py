@@ -1,0 +1,87 @@
+"""On-device A/B of train-step variants at full geometry.
+
+Reuses bench.py's scan-amortized train-step timing for a list of config
+variants (same process, same chip — the only comparison that means anything
+through the shared-tunnel chip roulette; docs/PERFORMANCE.md). Each variant
+is a separate full-geometry compile: expect ~minutes per UNCACHED variant
+through the tunneled compile service.
+
+Usage: python scripts/bench_train_ab.py [variant ...]
+Variants: base (bf16+remat, the bench.py default), noremat, xla_mlp
+(default: all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def run_variant(name: str) -> float:
+    import jax
+
+    import bench
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_pretrain
+    from pangu_tpu.model import PanguModel
+
+    kw = dict(
+        horizon=24,
+        compute_dtype="bfloat16",
+        matmul_precision="default",
+        use_pallas_attention=jax.default_backend() == "tpu",
+    )
+    if name == "noremat":
+        kw["remat"] = False
+    cfg = pangu_pretrain(**kw)
+
+    if name == "xla_mlp":
+        # disable the raw fused-MLP custom_vjp: route Mlp through the XLA
+        # einsum chain (the pre-round-3 training path)
+        from pangu_tpu.ops import fused_mlp as fm
+
+        fm_orig = fm._use_pallas_mlp
+        fm._use_pallas_mlp = lambda x, rows, c: 0
+    m = cfg.model
+    aux = synthetic_aux_constants(m, cfg.train)
+    model = PanguModel(m)
+    rng = np.random.default_rng(0)
+    upper = rng.standard_normal(
+        (1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    surface = rng.standard_normal(
+        (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
+    try:
+        value = bench.bench_train_step(cfg, model, aux, params, upper, surface)
+    finally:
+        if name == "xla_mlp":
+            fm._use_pallas_mlp = fm_orig
+    return value
+
+
+def main() -> None:
+    import bench
+
+    bench._enable_compile_cache()
+    variants = sys.argv[1:] or ["base", "noremat", "xla_mlp"]
+    out = {}
+    for name in variants:
+        try:
+            out[name] = round(run_variant(name), 5)
+        except Exception as e:  # keep earlier numbers if one variant dies
+            out[name] = f"error: {e}"[:200]
+        print(json.dumps({name: out[name]}), flush=True)
+    import jax
+
+    print(json.dumps({"train_ab": out,
+                      "device_kind": jax.devices()[0].device_kind}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,3 +119,54 @@ def test_pipeline_train_step_matches_single_device(setup):
         np.testing.assert_allclose(
             np.asarray(leaf), ref_leaf, atol=5e-5 * scale,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_pipeline_bf16_transport(setup):
+    """Inter-stage activations in bfloat16 halve ring-transfer bytes; raw
+    inputs bypass the buffer (stage 0 reads the replicated f32 arrays), so
+    only the O(1)-magnitude normalized activations are rounded."""
+    cfg, model, aux, params, upper, surface = setup
+    mesh = make_mesh(ParallelConfig(pipe=NUM_STAGES))
+    pipe = PanguPipeline(cfg, mesh, params, transport_dtype=jnp.bfloat16)
+    assert pipe.transport_dtype == jnp.bfloat16
+    fwd = pipe.make_forward(2)
+    got_u, got_s = jax.tree.map(
+        np.asarray, fwd(pipe.stack_params(params), upper, surface, aux))
+    ref_u, ref_s = jax.tree.map(np.asarray, jax.jit(
+        lambda p, u, s: model.apply(p, u, s, aux, True)
+    )(params, upper, surface))
+    for got, ref in ((got_u, ref_u), (got_s, ref_s)):
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 2e-2  # bf16 rounding
+
+
+def test_pipeline_droppath_rng(setup):
+    """Stochastic depth runs under pipeline parallelism (divergence #12
+    closed): rng-carrying steps vary per key, rng-free steps reproduce the
+    deterministic schedule."""
+    from pangu_tpu.train.step import Batch, make_optimizer
+
+    _, _, aux, params, upper, surface = setup
+    cfg = pangu_tiny(drop_path_max=0.5).replace(
+        parallel=ParallelConfig(pipe=NUM_STAGES))
+    batch = Batch(upper, surface, upper + 0.1, surface + 0.1)
+    optimizer = make_optimizer(cfg)
+    mesh = make_mesh(cfg.parallel)
+    pipe = PanguPipeline(cfg, mesh, params)
+    step = pipe.make_train_step(optimizer, num_microbatches=2)
+
+    state0 = pipe.init_train_state(params, optimizer)
+    _, loss_det = step(state0, batch, aux)
+    state0 = pipe.init_train_state(params, optimizer)
+    _, loss_det2 = step(state0, batch, aux)
+    np.testing.assert_allclose(float(loss_det), float(loss_det2), rtol=1e-6)
+
+    losses = []
+    for seed in (1, 2):
+        st = pipe.init_train_state(params, optimizer)
+        _, loss = step(st, batch, aux, jax.random.PRNGKey(seed))
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+    # rate 0.5 over 4 blocks: different keys drop different paths
+    assert losses[0] != losses[1]
+    assert float(loss_det) not in losses
