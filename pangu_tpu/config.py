@@ -72,6 +72,11 @@ class ModelConfig:
     # "highest" keeps fp32 matmuls true-fp32 (XLA otherwise lowers them to
     # bf16 passes on TPU); moot when compute_dtype is bfloat16.
     matmul_precision: str = "highest"
+    # Keep each block's attention output out of rematerialization: the
+    # backward pass then skips re-running the attention forward kernel
+    # (the single largest remat recompute) at ~2.1 GB HBM for the saved
+    # activations at flagship geometry. Ignored when remat is off.
+    remat_save_attention: bool = False
     # Rematerialize each transformer block during training
     # (reference models/layers.py:143-149 uses torch.utils.checkpoint).
     remat: bool = True

@@ -15,7 +15,7 @@ formulation.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -249,6 +249,11 @@ class EarthSpecificBlock(nn.Module):
             return x
 
         x = attn(x, mask, deterministic=deterministic)
+        # names the attention output for the save_only_these_names remat
+        # policy (cfg.remat_save_attention); a no-op otherwise
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "attn_out")
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
@@ -274,6 +279,8 @@ class EarthSpecificLayer(nn.Module):
     mlp_ratio: int = 4
     dropout_rate: float = 0.0
     remat: bool = False
+    #: optional jax.checkpoint policy (e.g. save_only_these_names("attn_out"))
+    remat_policy: Optional[Any] = None
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
@@ -292,7 +299,8 @@ class EarthSpecificLayer(nn.Module):
 
         block_cls = EarthSpecificBlock
         if self.remat:
-            block_cls = nn.remat(EarthSpecificBlock, static_argnums=(2,))
+            block_cls = nn.remat(EarthSpecificBlock, static_argnums=(2,),
+                                 policy=self.remat_policy)
         for i in range(self.depth):
             x = block_cls(
                 stage=self.stage,

@@ -67,6 +67,11 @@ def backbone_modules(cfg: ModelConfig, deterministic: bool):
     dpr = drop_path_rates(cfg)
     remat = cfg.remat and not deterministic
 
+    remat_policy = (
+        jax.checkpoint_policies.save_only_these_names("attn_out")
+        if cfg.remat_save_attention else None
+    )
+
     def layer(i, stage):
         return EarthSpecificLayer(
             stage=stage,
@@ -77,6 +82,7 @@ def backbone_modules(cfg: ModelConfig, deterministic: bool):
             mlp_ratio=cfg.mlp_ratio,
             dropout_rate=cfg.dropout_rate,
             remat=remat,
+            remat_policy=remat_policy,
             compute_dtype=cdt,
             param_dtype=pdt,
             use_pallas=cfg.use_pallas_attention,

@@ -88,8 +88,9 @@ def init_train_state(
         surface = jnp.zeros((1, m.surface_vars, m.lat, m.lon), jnp.float32)
         # jit the init: op-by-op dispatch of the full-geometry forward is
         # minutes through a tunneled device, one compiled call is seconds
-        params = jax.jit(model.init)(rng or jax.random.PRNGKey(cfg.train.seed),
-                                     upper, surface, aux)
+        if rng is None:  # `rng or ...` would probe array truthiness
+            rng = jax.random.PRNGKey(cfg.train.seed)
+        params = jax.jit(model.init)(rng, upper, surface, aux)
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 

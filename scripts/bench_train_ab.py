@@ -7,8 +7,9 @@ is a separate full-geometry compile: expect ~minutes per UNCACHED variant
 through the tunneled compile service.
 
 Usage: python scripts/bench_train_ab.py [variant ...]
-Variants: base (bf16+remat, the bench.py default), noremat, xla_mlp
-(default: all).
+Variants: base (bf16+remat, the bench.py default), noremat, xla_mlp,
+save_attn (remat with the attention output saved — backward skips the
+attention-forward remat recompute). Default: base xla_mlp noremat.
 """
 
 from __future__ import annotations
@@ -38,6 +39,8 @@ def run_variant(name: str) -> float:
     )
     if name == "noremat":
         kw["remat"] = False
+    if name == "save_attn":
+        kw["remat_save_attention"] = True
     cfg = pangu_pretrain(**kw)
 
     if name == "xla_mlp":

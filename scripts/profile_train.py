@@ -63,7 +63,7 @@ def capture(out_dir: str, steps: int) -> None:
 
 
 GROUPS = (
-    ("pallas attention", ("kernel", "fused_block", "attention")),
+    ("pallas attention", ("attn", "fused_block", "attention")),
     ("pallas mlp", ("raw_fwd", "raw_bwd", "mlp")),
     ("fusion", ("fusion",)),
     ("convert/reduce", ("convert", "reduce", "all-reduce")),
@@ -92,16 +92,24 @@ def summarize(out_dir: str, steps: int) -> None:
     events = trace.get("traceEvents", [])
     # device lanes: pid whose process_name mentions TPU/device and tid track
     # "XLA Ops"
-    names = {}
+    pnames, tnames = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            names[e["pid"]] = e["args"].get("name", "")
-    device_pids = {p for p, n in names.items()
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    device_pids = {p for p, n in pnames.items()
                    if "TPU" in n or "/device" in n.lower()}
+    # leaf op lane only — container lanes (Steps, queues, the jit_step
+    # umbrella) double-count everything beneath them
+    op_lanes = {k for k, n in tnames.items()
+                if k[0] in device_pids and "XLA Ops" in n}
     by_group = collections.Counter()
     by_name = collections.Counter()
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_lanes:
             continue
         dur = e.get("dur", 0)  # us
         by_group[group_of(e.get("name", ""))] += dur
@@ -114,7 +122,7 @@ def summarize(out_dir: str, steps: int) -> None:
                                for k, v in by_group.most_common()},
         "total_device_ms_per_step": round(total / 1e3 / steps, 1),
         "top_ops_ms_per_step": {k[:80]: round(v / 1e3 / steps, 1)
-                                for k, v in by_name.most_common(15)},
+                                for k, v in by_name.most_common(40)},
     }))
 
 
