@@ -255,15 +255,12 @@ def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
             body, state, jax.random.split(jax.random.PRNGKey(0), steps))
         return state, jnp.sum(losses)
 
-    def timed(k, reps=3):
+    def timed(k):
         nonlocal state
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            state, s = run(state, batch, aux, k)
-            float(s)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        state, s = run(state, batch, aux, k)
+        float(s)
+        return time.perf_counter() - t0
 
     k_short, k_long = 2, 8
     _note(f"compile+warm train steps={k_short}")
@@ -273,7 +270,15 @@ def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
     state, s = run(state, batch, aux, k_long)
     float(s)
     _note("timing train")
-    return (timed(k_long) - timed(k_short)) / (k_long - k_short)
+    # Median of PAIRED (k_long - k_short) differences: with only a 6-step
+    # gap, min-of-independent-reps differencing let one tunnel-latency
+    # spike on the short run collapse the estimate to nonsense (a 65 ms
+    # "train step" was observed against an ~850 ms device-busy profile).
+    diffs = sorted(
+        (timed(k_long) - timed(k_short)) / (k_long - k_short)
+        for _ in range(5)
+    )
+    return diffs[len(diffs) // 2]
 
 
 if __name__ == "__main__":

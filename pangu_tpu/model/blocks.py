@@ -249,11 +249,14 @@ class EarthSpecificBlock(nn.Module):
             return x
 
         x = attn(x, mask, deterministic=deterministic)
-        # names the attention output for the save_only_these_names remat
-        # policy (cfg.remat_save_attention); a no-op otherwise
-        from jax.ad_checkpoint import checkpoint_name
+        if not deterministic:
+            # names the attention output for the save_only_these_names remat
+            # policy (cfg.remat_save_attention). Training-only: the name
+            # primitive changes the jaxpr, and inference programs must stay
+            # byte-identical for the persistent compile cache.
+            from jax.ad_checkpoint import checkpoint_name
 
-        x = checkpoint_name(x, "attn_out")
+            x = checkpoint_name(x, "attn_out")
 
         if self.shifted:
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def capture(out_dir: str, steps: int) -> None:
+def capture(out_dir: str, steps: int, save_attn: bool = False) -> None:
     import jax
 
     import bench
@@ -38,6 +38,7 @@ def capture(out_dir: str, steps: int) -> None:
     cfg = pangu_pretrain(
         horizon=24, compute_dtype="bfloat16", matmul_precision="default",
         use_pallas_attention=jax.default_backend() == "tpu",
+        remat_save_attention=save_attn,
     )
     m = cfg.model
     aux = synthetic_aux_constants(m, cfg.train)
@@ -130,10 +131,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--out", default="/tmp/pangu_prof")
+    p.add_argument("--save-attn", action="store_true",
+                   help="profile the remat_save_attention variant")
     p.add_argument("--summarize-only", action="store_true")
     args = p.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.steps)
+        capture(args.out, args.steps, save_attn=args.save_attn)
     summarize(args.out, args.steps)
 
 
