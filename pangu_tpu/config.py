@@ -74,9 +74,11 @@ class ModelConfig:
     matmul_precision: str = "highest"
     # Keep each block's attention output out of rematerialization: the
     # backward pass then skips re-running the attention forward kernel
-    # (the single largest remat recompute) at ~2.1 GB HBM for the saved
-    # activations at flagship geometry. Ignored when remat is off.
-    remat_save_attention: bool = False
+    # (the single largest remat recompute; measured -72 device-ms/step,
+    # docs/PERFORMANCE.md) at ~2.1 GB HBM for the saved activations at
+    # flagship geometry batch 1. Turn OFF for memory-constrained large
+    # per-device batches. Ignored when remat is off.
+    remat_save_attention: bool = True
     # Rematerialize each transformer block during training
     # (reference models/layers.py:143-149 uses torch.utils.checkpoint).
     remat: bool = True
