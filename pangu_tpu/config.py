@@ -79,6 +79,10 @@ class ModelConfig:
     # flagship geometry batch 1. Turn OFF for memory-constrained large
     # per-device batches. Ignored when remat is off.
     remat_save_attention: bool = True
+    # Same idea for the MLP output (skips the MLP-forward remat recompute,
+    # another ~2.1 GB at flagship batch 1; 774.9 -> 706.6 device-ms/step on
+    # v5e, docs/PERFORMANCE.md). Ignored when remat is off.
+    remat_save_mlp: bool = True
     # Rematerialize each transformer block during training
     # (reference models/layers.py:143-149 uses torch.utils.checkpoint).
     remat: bool = True

@@ -126,6 +126,32 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+def lora_tap(mod: nn.Module, name: str, x: jnp.ndarray,
+             deterministic: bool) -> Optional[jnp.ndarray]:
+    """Unmerged LoRA adapter contribution for the Dense site ``name``.
+
+    Mirrors peft's per-linear formulation (reference
+    finetune/lora_tune.py:174-180): ``y += scaling * dropout(x) @ A @ B``
+    where the adapter branch sees the SAME per-token input as the wrapped
+    linear and inverted dropout is applied to that branch only during
+    training. Adapters arrive as an optional ``"lora"`` flax variable
+    collection (built by train.lora.lora_collection); absent in normal runs,
+    in which case this returns None and the site is untouched. The rank-r
+    matmuls run in f32 — they are tiny next to the main dot.
+    """
+    if not mod.has_variable("lora", name):
+        return None
+    ab = mod.get_variable("lora", name)
+    xd = x.astype(jnp.float32)
+    if not deterministic:
+        keep = 1.0 - ab["rate"]
+        mask = jax.random.bernoulli(mod.make_rng("lora"), keep, x.shape)
+        xd = jnp.where(mask, xd / keep, 0.0)
+    return jnp.einsum("...r,rf->...f",
+                      jnp.einsum("...c,cr->...r", xd, ab["a"]),
+                      ab["b_scaled"])
+
+
 class EarthAttention3D(nn.Module):
     """Multi-head window attention with per-window-type dense bias.
 
@@ -180,8 +206,13 @@ class EarthAttention3D(nn.Module):
 
         # An ACTIVE dropout (rate > 0, training) needs per-probability rng
         # the fused kernel does not model — route to the XLA path then.
+        # Unmerged LoRA adapters (train.lora, a "lora" variable collection)
+        # likewise modify q/k/v inside the kernel, so they take the XLA path.
         drop_active = self.dropout_rate > 0.0 and not deterministic
-        if self.use_pallas and jax.default_backend() == "tpu" and not drop_active:
+        lora_active = (self.has_variable("lora", "qkv")
+                       or self.has_variable("lora", "proj"))
+        if (self.use_pallas and jax.default_backend() == "tpu"
+                and not drop_active and not lora_active):
             from pangu_tpu.ops.fused_block_attention import fused_block_attention
 
             ln_s = ln_b = None
@@ -208,6 +239,9 @@ class EarthAttention3D(nn.Module):
                        preferred_element_type=jnp.float32)
             + bqkv.astype(jnp.float32)
         ).astype(cdt)
+        d = lora_tap(self, "qkv", xw, deterministic)
+        if d is not None:
+            qkv = qkv + d.astype(cdt)
         qkv = qkv.reshape(qkv.shape[:4] + (3, self.heads, head_dim))
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
@@ -227,13 +261,16 @@ class EarthAttention3D(nn.Module):
             precision=self.precision, preferred_element_type=jnp.float32,
         ).astype(cdt)
 
-        out = out.reshape(out.shape[:3] + (t, self.dim))
+        pin = out.reshape(out.shape[:3] + (t, self.dim))
         out = (
-            jnp.einsum("...c,cf->...f", out, wproj.astype(cdt),
+            jnp.einsum("...c,cf->...f", pin, wproj.astype(cdt),
                        precision=self.precision,
                        preferred_element_type=jnp.float32)
             + bproj.astype(jnp.float32)
         ).astype(cdt)
+        d = lora_tap(self, "proj", pin, deterministic)
+        if d is not None:
+            out = out + d.astype(cdt)
         # reference models/layers.py:482 — dropout on the projected output
         out = nn.Dropout(self.dropout_rate, name="proj_drop")(
             out, deterministic=deterministic)

@@ -25,6 +25,7 @@ from pangu_tpu.geometry import StageGeometry
 from pangu_tpu.model.attention import (
     DenseParams,
     EarthAttention3D,
+    lora_tap,
     shift_attention_mask_traced,
 )
 from pangu_tpu.parallel.mesh import TOKEN_SPEC, maybe_shard
@@ -90,7 +91,12 @@ class Mlp(nn.Module):
             # megakernel) without changing the param tree layout
             return w1, b1, w2, b2
         drop_active = self.dropout_rate > 0.0 and not deterministic
-        if fused and not drop_active:
+        # Unmerged LoRA adapters modify the hidden before GELU — the fused
+        # kernels cannot model that, so their presence routes to the XLA path
+        # (same switch as active dropout).
+        lora_active = (self.has_variable("lora", "fc1")
+                       or self.has_variable("lora", "fc2"))
+        if fused and not drop_active and not lora_active:
             from pangu_tpu.ops.fused_mlp import fused_mlp_block
 
             return fused_mlp_block(
@@ -98,10 +104,10 @@ class Mlp(nn.Module):
                 w2.astype(cdt), b2.astype(cdt),
                 ln[0].astype(jnp.float32), ln[1].astype(jnp.float32),
             )
-        assert not (fused and drop_active), \
-            "fused MLP tail has no dropout path; route training through " \
-            "the unfused formulation when dropout_rate > 0"
-        if self.use_pallas and not drop_active \
+        assert not fused, \
+            "fused MLP tail has no dropout / unmerged-LoRA path; route " \
+            "such runs through the unfused formulation"
+        if self.use_pallas and not drop_active and not lora_active \
                 and jax.default_backend() == "tpu" \
                 and jnp.dtype(cdt) == jnp.bfloat16:
             # flash-style custom_vjp: hidden recomputed in VMEM, never in HBM
@@ -114,6 +120,9 @@ class Mlp(nn.Module):
                         precision=self.precision,
                         preferred_element_type=jnp.float32)
              + b1.astype(jnp.float32)).astype(cdt)
+        d = lora_tap(self, "fc1", x.astype(cdt), deterministic)
+        if d is not None:
+            h = h + d.astype(cdt)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout_rate, name="drop1")(
             h, deterministic=deterministic)
@@ -121,6 +130,9 @@ class Mlp(nn.Module):
                         precision=self.precision,
                         preferred_element_type=jnp.float32)
              + b2.astype(jnp.float32)).astype(cdt)
+        d = lora_tap(self, "fc2", h, deterministic)
+        if d is not None:
+            y = y + d.astype(cdt)
         y = nn.Dropout(self.dropout_rate, name="drop2")(
             y, deterministic=deterministic)
         return y
@@ -264,8 +276,15 @@ class EarthSpecificBlock(nn.Module):
         # Post-norm residuals (reference models/layers.py:296-297).
         drop = DropPath(self.drop_path_rate, name="drop_path")
         x = shortcut + drop(apply_layer_norm(x, *ln1), deterministic)
-        x = x + drop(apply_layer_norm(mlp(x, deterministic=deterministic),
-                                      *ln2), deterministic)
+        y = mlp(x, deterministic=deterministic)
+        if not deterministic:
+            # named for the save_only_these_names remat policy
+            # (cfg.remat_save_mlp); training-only for compile-cache
+            # stability of inference programs
+            from jax.ad_checkpoint import checkpoint_name
+
+            y = checkpoint_name(y, "mlp_out")
+        x = x + drop(apply_layer_norm(y, *ln2), deterministic)
         return x
 
 
@@ -335,7 +354,7 @@ class DownSample(nn.Module):
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, z, h, w, c = x.shape
         x = jnp.pad(x, ((0, 0), (0, 0), (0, self.h_pad), (0, 0), (0, 0)))
         hp = h + self.h_pad
@@ -344,10 +363,11 @@ class DownSample(nn.Module):
         x = x.reshape(b, z, hp // 2, w // 2, 4 * c)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
-        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.compute_dtype,
+        y = nn.Dense(2 * self.dim, use_bias=False, dtype=self.compute_dtype,
                      param_dtype=self.param_dtype, precision=self.precision,
                      kernel_init=_TRUNC, name="reduction")(x)
-        return x
+        d = lora_tap(self, "reduction", x, deterministic)
+        return y if d is None else y + d.astype(y.dtype)
 
 
 class UpSample(nn.Module):
@@ -362,18 +382,21 @@ class UpSample(nn.Module):
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, z, h2, w2, _ = x.shape
-        x = nn.Dense(4 * self.out_dim, use_bias=False, dtype=self.compute_dtype,
+        y = nn.Dense(4 * self.out_dim, use_bias=False, dtype=self.compute_dtype,
                      param_dtype=self.param_dtype, precision=self.precision,
                      kernel_init=_TRUNC, name="expand")(x)
+        d = lora_tap(self, "expand", x, deterministic)
+        x = y if d is None else y + d.astype(y.dtype)
         x = x.reshape(b, z, h2, w2, 2, 2, self.out_dim)  # (..., dy, dx, C)
         x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, Z, H2, dy, W2, dx, C)
         x = x.reshape(b, z, 2 * h2, 2 * w2, self.out_dim)
         x = x[:, :, : self.h_out]
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
-        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.compute_dtype,
+        y = nn.Dense(self.out_dim, use_bias=False, dtype=self.compute_dtype,
                      param_dtype=self.param_dtype, precision=self.precision,
                      kernel_init=_TRUNC, name="mix")(x)
-        return x
+        d = lora_tap(self, "mix", x, deterministic)
+        return y if d is None else y + d.astype(y.dtype)

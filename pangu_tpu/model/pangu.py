@@ -67,9 +67,11 @@ def backbone_modules(cfg: ModelConfig, deterministic: bool):
     dpr = drop_path_rates(cfg)
     remat = cfg.remat and not deterministic
 
+    saves = (("attn_out",) if cfg.remat_save_attention else ()) + \
+        (("mlp_out",) if cfg.remat_save_mlp else ())
     remat_policy = (
-        jax.checkpoint_policies.save_only_these_names("attn_out")
-        if cfg.remat_save_attention else None
+        jax.checkpoint_policies.save_only_these_names(*saves)
+        if saves else None
     )
 
     def layer(i, stage):
@@ -130,11 +132,11 @@ class PanguModel(nn.Module):
 
         x = mods["layer0"](x, deterministic)
         skip = x
-        x = mods["downsample"](x)
+        x = mods["downsample"](x, deterministic)
         x = maybe_shard(x, _TOKEN_SPEC)
         x = mods["layer1"](x, deterministic)
         x = mods["layer2"](x, deterministic)
-        x = mods["upsample"](x)
+        x = mods["upsample"](x, deterministic)
         x = maybe_shard(x, _TOKEN_SPEC)
         x = mods["layer3"](x, deterministic)
 

@@ -129,7 +129,7 @@ class PanguStage(nn.Module):
         if self.stage_id == 1:
             (x,) = payload
             skip = x
-            y = mods["downsample"](x)
+            y = mods["downsample"](x, det)
             y = mods["layer1"](y, det)
             return (y, skip)
         if self.stage_id == 2:
@@ -137,7 +137,7 @@ class PanguStage(nn.Module):
             y = mods["layer2"](y, det)
             return (y, skip)
         y, skip = payload
-        y = mods["upsample"](y)
+        y = mods["upsample"](y, det)
         y = mods["layer3"](y, det)
         y = jnp.concatenate([skip, y], axis=-1)
         return mods["patch_recovery"](y)

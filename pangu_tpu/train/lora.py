@@ -13,10 +13,19 @@ param surgery:
     ``merge_params`` produces effective weights for forward/eval, so the
     serving path is identical to the full-finetune one.
 
-Note: the reference applies lora-dropout to the adapter input; the merged
-formulation has no per-token adapter input, so the rate is carried in the
-config but not applied (a documentation-level divergence, not a capability
-gap — set dropout in ModelConfig for comparable regularization).
+Two training formulations:
+
+  * **merged** (default): ``W_eff = W + (alpha/r) * A @ B`` — one param
+    surgery per step, every downstream path (incl. the fused TPU kernels)
+    unchanged. Equals the unmerged form exactly when lora-dropout is 0.
+  * **unmerged** (``make_lora_train_step(..., unmerged=True)``): peft's
+    per-linear formulation with per-token adapter dropout
+    (reference finetune/lora_tune.py:174-180) — adapters ride a ``"lora"``
+    flax variable collection (``lora_collection``) and each Dense site adds
+    ``scaling * dropout(x) @ A @ B`` (model.attention.lora_tap). Sites the
+    fused kernels would hide route to the XLA path automatically. Eval /
+    serving always merge: with dropout off the two forms are identical, so
+    the deployed artifact stays a plain param tree either way.
 """
 
 from __future__ import annotations
@@ -98,7 +107,10 @@ def init_lora_params(base_params: Any, cfg: LoraConfig, rng: jax.Array) -> Dict:
     tree = base_params["params"]
     for name, sub in tree.items():
         if _in_full_train((name,), cfg):
-            full[name] = sub
+            # COPY, don't alias: the Trainer's train step donates its state,
+            # and donating an alias would delete the caller's base_params
+            # buffers (breaking changed_param_report and any later use).
+            full[name] = jax.tree.map(jnp.copy, sub)
     return {"lora": lora, "full": full}
 
 
@@ -115,27 +127,62 @@ def merge_params(base_params: Any, trainable: Dict, cfg: LoraConfig) -> Any:
     return params
 
 
+def apply_full_overrides(base_params: Any, trainable: Dict) -> Any:
+    """Only the full-train subtree surgery (no adapter merge) — the base
+    params used by the unmerged forward, where adapters ride the ``lora``
+    collection instead."""
+    params = base_params
+    for name, sub in trainable["full"].items():
+        params = _set(params, ("params", name), sub)
+    return params
+
+
+def lora_collection(trainable: Dict, cfg: LoraConfig) -> Dict:
+    """The ``"lora"`` flax variable collection for the unmerged forward:
+    mirrors the module tree, one ``{a, b_scaled, rate}`` leaf dict per
+    adapted Dense site (consumed by model.attention.lora_tap). ``b`` is
+    pre-scaled by alpha/r so the tap is a plain two-dot chain."""
+    col: Dict = {}
+    for joined, ab in trainable["lora"].items():
+        path = tuple(joined.split("/"))  # ("params", *mods, site, "kernel")
+        node = col
+        for key in path[1:-2]:
+            node = node.setdefault(key, {})
+        node[path[-2]] = {
+            "a": ab["a"],
+            "b_scaled": ab["b"] * cfg.scaling,
+            "rate": jnp.float32(cfg.dropout),
+        }
+    return col
+
+
 def count_trainable(trainable: Dict) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable))
 
 
 def make_lora_train_step(
     model, cfg, optimizer: optax.GradientTransformation,
-    base_params: Any, lora_cfg: LoraConfig,
+    base_params: Any, lora_cfg: LoraConfig, unmerged: bool = False,
 ) -> Callable:
     """Like train.step.make_train_step but optimizing only the LoRA tree.
 
     step(lora_state, batch, aux, rng) -> (lora_state, loss); lora_state is
-    (trainable, opt_state, step)."""
+    (trainable, opt_state, step). ``unmerged`` switches to peft's per-token
+    adapter-dropout formulation (module docstring)."""
     from pangu_tpu.train.step import TrainState, loss_fn
 
     def step(state: TrainState, batch, aux, rng):
-        r_path, r_drop = jax.random.split(rng)
+        r_path, r_drop, r_lora = jax.random.split(rng, 3)
+        rngs = {"droppath": r_path, "dropout": r_drop, "lora": r_lora}
 
         def lora_loss(trainable):
-            params = merge_params(base_params, trainable, lora_cfg)
-            return loss_fn(model, params, batch, aux, cfg,
-                           {"droppath": r_path, "dropout": r_drop},
+            if unmerged:
+                params = apply_full_overrides(base_params, trainable)
+                params = {**params,
+                          "lora": lora_collection(trainable, lora_cfg)}
+            else:
+                params = merge_params(base_params, trainable, lora_cfg)
+            return loss_fn(model, params, batch, aux, cfg, rngs,
                            deterministic=False)
 
         loss, grads = jax.value_and_grad(lora_loss)(state.params)

@@ -43,7 +43,7 @@ def _loop_kernel(qkv_ref, out_ref):
             acc += jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    out_ref[:] += acc
 
 
 def _blockdiag_kernel(qkv_ref, out_ref):
@@ -67,7 +67,7 @@ def _blockdiag_kernel(qkv_ref, out_ref):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)               # (T, 4T)
             acc += sum(s[:, i * T:(i + 1) * T] for i in range(4))
-    out_ref[:] = acc
+    out_ref[:] += acc
 
 
 def _qblockdiag_kernel(qkv_ref, out_ref):
@@ -91,35 +91,79 @@ def _qblockdiag_kernel(qkv_ref, out_ref):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)               # (4T, T)
             acc += sum(s[i * T:(i + 1) * T] for i in range(4))
-    out_ref[:] = acc
+    out_ref[:] += acc
+
+
+def _loop_int8_kernel(qkv_ref, out_ref):
+    # int8 q/k score dots (quantization cost excluded — this bounds the
+    # BEST case): if the d=32 contraction is depth-padded to 128 either
+    # way, int8's 2x MXU peak cannot show up and the lever is dead.
+    acc = jnp.zeros((T, T), jnp.float32)
+    for r in range(REPS):
+        for h in range(H):
+            q = qkv_ref[r, :, h * D:(h + 1) * D]
+            k = qkv_ref[r, :, C + h * D:C + (h + 1) * D]
+            acc += jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+    out_ref[:] += acc
 
 
 def timeit(kernel, qkv) -> float:
-    f = jax.jit(lambda x: pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(qkv.shape, lambda: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((T, T), lambda: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, T), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(x))
-    jax.block_until_ready(f(qkv))
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        jax.block_until_ready(f(qkv))
-    return (time.perf_counter() - t0) / (n * REPS) * 1e6  # us/window
+    """us/window, tunnel-robust: each program repeats the whole REPS-window
+    sweep G times via a sequential grid (accumulating into out so nothing is
+    dead-code-eliminated); two grid lengths are timed and the paired
+    difference cancels dispatch/tunnel latency (same methodology as
+    bench.py's train bench)."""
+
+    def gridded(qkv_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        kernel(qkv_ref, out_ref)
+
+    def build(g):
+        # scalar-sum return: float() forces a real device->host fetch —
+        # block_until_ready can return without blocking through the tunnel
+        f = jax.jit(lambda x: jnp.sum(pl.pallas_call(
+            gridded,
+            grid=(g,),
+            in_specs=[pl.BlockSpec(qkv.shape, lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((T, T), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, T), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x)))
+        float(f(qkv))  # compile + warm
+        return f
+
+    # large grids so the measured difference is device compute, not noise:
+    # one sweep is only ~0.5 GFLOP (64 windows x 6 small dots)
+    g_short, g_long = 512, 4608
+    f_short, f_long = build(g_short), build(g_long)
+
+    def once(f):
+        t0 = time.perf_counter()
+        float(f(qkv))
+        return time.perf_counter() - t0
+
+    diffs = sorted(once(f_long) - once(f_short) for _ in range(7))
+    per_sweep = diffs[len(diffs) // 2] / (g_long - g_short)
+    return per_sweep / REPS * 1e6  # us/window
 
 
 def main() -> None:
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.standard_normal((REPS, T, 3 * C)), jnp.bfloat16)
+    qkv8 = jnp.asarray(
+        rng.integers(-127, 127, (REPS, T, 3 * C)), jnp.int8)
     out = {
         "loop_us_per_window": round(timeit(_loop_kernel, qkv), 2),
         "blockdiag_us_per_window": round(timeit(_blockdiag_kernel, qkv), 2),
         "qblockdiag_us_per_window": round(timeit(_qblockdiag_kernel, qkv), 2),
+        "loop_int8_us_per_window": round(timeit(_loop_int8_kernel, qkv8), 2),
         "device_kind": jax.devices()[0].device_kind,
     }
     print(json.dumps(out))

@@ -41,6 +41,9 @@ def run_variant(name: str) -> float:
         kw["remat"] = False
     if name == "save_attn":
         kw["remat_save_attention"] = True
+    if name == "save_attn_mlp":
+        kw["remat_save_attention"] = True
+        kw["remat_save_mlp"] = True
     cfg = pangu_pretrain(**kw)
 
     if name == "xla_mlp":

@@ -45,6 +45,12 @@ def main() -> None:
                    help="resume from the latest train_{n} LoRA checkpoint")
     p.add_argument("--lora-weights", type=str, default=None,
                    help="previously saved LoRA trainable tree (.npz)")
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="lora-dropout rate (reference lora_tune.py:176)")
+    p.add_argument("--unmerged", action="store_true",
+                   help="train with peft's unmerged per-token adapter-"
+                        "dropout forward instead of the merged surgery "
+                        "(identical when --dropout 0; train.lora docstring)")
     args = p.parse_args()
 
     distributed_init()
@@ -55,7 +61,8 @@ def main() -> None:
 
     aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, cfg.horizon)
     model, base_params = load_model_and_params(cfg, args, aux)
-    lcfg = LoraConfig(rank=args.rank, alpha=args.alpha)
+    lcfg = LoraConfig(rank=args.rank, alpha=args.alpha,
+                      dropout=args.dropout)
 
     trainable = (
         load_params_npz(args.lora_weights)
@@ -89,7 +96,8 @@ def main() -> None:
             cfg, model, aux, out_dir, writer=writer, logger=logger,
             steps_per_epoch=len(train_loader),
             train_step_fn=lambda opt: make_lora_train_step(
-                model, cfg, opt, base_params, lcfg),
+                model, cfg, opt, base_params, lcfg,
+                unmerged=args.unmerged),
             eval_step_fn=make_lora_eval_step(model, cfg, base_params, lcfg),
         )
 

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def capture(out_dir: str, steps: int, save_attn: bool = False) -> None:
+def capture(out_dir: str, steps: int, save_attn: bool = False,
+            save_mlp: bool = False) -> None:
     import jax
 
     import bench
@@ -39,6 +40,7 @@ def capture(out_dir: str, steps: int, save_attn: bool = False) -> None:
         horizon=24, compute_dtype="bfloat16", matmul_precision="default",
         use_pallas_attention=jax.default_backend() == "tpu",
         remat_save_attention=save_attn,
+        remat_save_mlp=save_mlp,
     )
     m = cfg.model
     aux = synthetic_aux_constants(m, cfg.train)
@@ -133,10 +135,13 @@ def main() -> None:
     p.add_argument("--out", default="/tmp/pangu_prof")
     p.add_argument("--save-attn", action="store_true",
                    help="profile the remat_save_attention variant")
+    p.add_argument("--save-mlp", action="store_true",
+                   help="also save MLP outputs from remat")
     p.add_argument("--summarize-only", action="store_true")
     args = p.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.steps, save_attn=args.save_attn)
+        capture(args.out, args.steps, save_attn=args.save_attn,
+                save_mlp=args.save_mlp)
     summarize(args.out, args.steps)
 
 

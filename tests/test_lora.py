@@ -163,3 +163,113 @@ def test_sharded_val_stats_lockstep():
     for count in (1, 4):
         s, n = sharded_val_stats(eval_step, None, loader, None, count)
         assert (s, n) == (15.0, 5)
+
+
+def test_unmerged_equals_merged_at_zero_dropout(setup):
+    """peft's unmerged forward (adapters on the "lora" collection, applied
+    per Dense site) is exactly the merged param surgery when lora-dropout
+    is 0: same loss, same adapter gradients."""
+    import dataclasses
+
+    from pangu_tpu.train.step import Batch
+
+    cfg, model, params, aux, upper, surface = setup
+    # stochastic depth off: merged/unmerged share rng streams by name, but
+    # the droppath draw count must not depend on the formulation
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, drop_path_max=0.0))
+    model = PanguModel(cfg.model)
+    lcfg = LoraConfig(dropout=0.0)
+    trainable = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+    # make the adapter deltas nonzero so the comparison is not trivially 0=0
+    trainable["lora"] = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(2), x.shape, x.dtype),
+        trainable["lora"])
+    batch = Batch(upper, surface, np.zeros_like(upper),
+                  np.zeros_like(surface))
+
+    from pangu_tpu.train.lora import apply_full_overrides, lora_collection
+    from pangu_tpu.train.step import loss_fn
+
+    rngs = {"droppath": jax.random.PRNGKey(5),
+            "dropout": jax.random.PRNGKey(6),
+            "lora": jax.random.PRNGKey(7)}
+
+    def merged_loss(t):
+        return loss_fn(model, merge_params(params, t, lcfg), batch, aux,
+                       cfg, rngs, deterministic=False)
+
+    def unmerged_loss(t):
+        p = apply_full_overrides(params, t)
+        p = {**p, "lora": lora_collection(t, lcfg)}
+        return loss_fn(model, p, batch, aux, cfg, rngs, deterministic=False)
+
+    lm, gm = jax.value_and_grad(merged_loss)(trainable)
+    lu, gu = jax.value_and_grad(unmerged_loss)(trainable)
+    np.testing.assert_allclose(float(lu), float(lm), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6),
+        gm, gu)
+
+
+def test_unmerged_adapter_dropout_is_stochastic(setup):
+    """With lora-dropout > 0 the unmerged loss depends on the "lora" rng
+    (per-token masks on the adapter branch) while the merged form cannot
+    express it — the divergence the unmerged mode exists to close."""
+    import dataclasses
+
+    from pangu_tpu.train.lora import apply_full_overrides, lora_collection
+    from pangu_tpu.train.step import Batch, loss_fn
+
+    cfg, model, params, aux, upper, surface = setup
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, drop_path_max=0.0))
+    model = PanguModel(cfg.model)
+    lcfg = LoraConfig(dropout=0.5)
+    trainable = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+    trainable["lora"] = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(2), x.shape, x.dtype),
+        trainable["lora"])
+    batch = Batch(upper, surface, np.zeros_like(upper),
+                  np.zeros_like(surface))
+    p = apply_full_overrides(params, trainable)
+    p = {**p, "lora": lora_collection(trainable, lcfg)}
+
+    def loss_with(seed):
+        rngs = {"droppath": jax.random.PRNGKey(5),
+                "dropout": jax.random.PRNGKey(6),
+                "lora": jax.random.PRNGKey(seed)}
+        return float(loss_fn(model, p, batch, aux, cfg, rngs,
+                             deterministic=False))
+
+    assert loss_with(7) != loss_with(8)
+    # deterministic (eval) applies adapters without dropout == merged form
+    lm = float(loss_fn(model, merge_params(params, trainable, lcfg), batch,
+                       aux, cfg, deterministic=True))
+    lu = float(loss_fn(model, p, batch, aux, cfg, deterministic=True))
+    np.testing.assert_allclose(lu, lm, rtol=1e-5)
+
+
+def test_unmerged_train_step_runs(setup):
+    import dataclasses
+
+    cfg, model, params, aux, *_ = setup
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, lr=1e-3),
+        data=DataConfig(train_start="20180101", train_end="20180105",
+                        train_freq="24h", prefetch=0),
+    )
+    lcfg = LoraConfig(dropout=0.1)
+    trainable = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+    opt = make_optimizer(cfg)
+    state = TrainState(trainable, opt.init(trainable),
+                       jnp.zeros((), jnp.int32))
+    step = jax.jit(make_lora_train_step(model, cfg, opt, params, lcfg,
+                                        unmerged=True))
+    loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1)
+    batch, _ = next(iter(loader))
+    losses = []
+    for i in range(4):
+        state, loss = step(state, batch, aux, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

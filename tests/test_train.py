@@ -237,3 +237,38 @@ def test_fused_earth_block_backward_is_forbidden():
     with pytest.raises(RuntimeError, match="inference-only"):
         jax.grad(lambda x_: jnp.sum(fused_earth_block(
             x_, *args, window, heads, 1.0)))(x)
+
+
+def test_remat_policy_identity(setup):
+    """The save_only_these_names remat policies (attn_out / mlp_out) change
+    only what the backward recomputes, never the math: loss and grads must
+    match the plain per-block remat exactly."""
+    import dataclasses
+
+    cfg0, _, aux = setup
+    loader = make_loader(cfg0.data, cfg0.model, "train", cfg0.horizon,
+                         batch_size=1)
+    batch, _ = next(iter(loader))
+    rng = jax.random.PRNGKey(3)
+
+    def loss_and_grads(save_attn, save_mlp):
+        cfg = cfg0.replace(model=dataclasses.replace(
+            cfg0.model, remat=True, remat_save_attention=save_attn,
+            remat_save_mlp=save_mlp))
+        model = PanguModel(cfg.model)
+        params = model.init(jax.random.PRNGKey(0), batch.upper, batch.surface,
+                            aux)
+        from pangu_tpu.train.step import loss_fn
+
+        return jax.value_and_grad(lambda p: loss_fn(
+            model, p, batch, aux, cfg,
+            {"droppath": rng, "dropout": rng}, deterministic=False))(params)
+
+    ref_loss, ref_grads = loss_and_grads(False, False)
+    for sa, sm in ((True, False), (True, True)):
+        loss, grads = loss_and_grads(sa, sm)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5,
+                                                    atol=1e-6),
+            ref_grads, grads)
