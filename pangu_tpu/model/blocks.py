@@ -80,7 +80,8 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, ln: Optional[Tuple] = None,
                  fused: bool = False, collect_only: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 postnorm_scale: Optional[jnp.ndarray] = None):
         cdt = self.compute_dtype
         w1, b1 = DenseParams(self.dim, self.dim * self.ratio,
                              param_dtype=self.param_dtype, name="fc1")()
@@ -107,6 +108,22 @@ class Mlp(nn.Module):
         assert not fused, \
             "fused MLP tail has no dropout / unmerged-LoRA path; route " \
             "such runs through the unfused formulation"
+        if postnorm_scale is not None and self.use_pallas \
+                and not drop_active and not lora_active \
+                and jax.default_backend() == "tpu" \
+                and jnp.dtype(cdt) == jnp.bfloat16:
+            # TRAINING block tail — x + s*LN(mlp(x)) as ONE flash-style
+            # custom_vjp Pallas program each way (the stochastic-depth scale
+            # rides in-kernel); removes the LN/droppath/residual HBM round
+            # trips of the unfused epilogue (docs/PERFORMANCE.md round 3)
+            from pangu_tpu.ops import fused_mlp as fm
+
+            if fm._POSTNORM_FUSION:
+                return fm.fused_mlp_postnorm(
+                    x.astype(cdt), w1.astype(cdt), b1.astype(cdt),
+                    w2.astype(cdt), b2.astype(cdt),
+                    ln[0].astype(jnp.float32), ln[1].astype(jnp.float32),
+                    postnorm_scale)
         if self.use_pallas and not drop_active and not lora_active \
                 and jax.default_backend() == "tpu" \
                 and jnp.dtype(cdt) == jnp.bfloat16:
@@ -114,8 +131,9 @@ class Mlp(nn.Module):
             # (the MLP backward dominated the train step's XLA bucket)
             from pangu_tpu.ops.fused_mlp import fused_mlp
 
-            return fused_mlp(x.astype(cdt), w1.astype(cdt), b1.astype(cdt),
-                             w2.astype(cdt), b2.astype(cdt))
+            y = fused_mlp(x.astype(cdt), w1.astype(cdt), b1.astype(cdt),
+                          w2.astype(cdt), b2.astype(cdt))
+            return self._finish(x, y, ln, postnorm_scale, deterministic)
         h = (jnp.einsum("...c,cf->...f", x.astype(cdt), w1.astype(cdt),
                         precision=self.precision,
                         preferred_element_type=jnp.float32)
@@ -135,7 +153,23 @@ class Mlp(nn.Module):
             y = y + d.astype(cdt)
         y = nn.Dropout(self.dropout_rate, name="drop2")(
             y, deterministic=deterministic)
-        return y
+        return self._finish(x, y, ln, postnorm_scale, deterministic)
+
+    @nn.nowrap
+    def _finish(self, x, y, ln, postnorm_scale, deterministic):
+        """Raw output, or the unfused block tail when the caller asked for
+        tail mode (postnorm_scale given) but the Pallas path doesn't apply."""
+        if postnorm_scale is None:
+            return y
+        if not deterministic:
+            # names the MLP output for the save_only_these_names remat policy
+            # (cfg.remat_save_mlp); training-only so inference programs stay
+            # byte-identical for the persistent compile cache
+            from jax.ad_checkpoint import checkpoint_name
+
+            y = checkpoint_name(y, "mlp_out")
+        branch = postnorm_scale * apply_layer_norm(y, *ln).astype(jnp.float32)
+        return (x.astype(jnp.float32) + branch).astype(x.dtype)
 
 
 class DropPath(nn.Module):
@@ -274,18 +308,38 @@ class EarthSpecificBlock(nn.Module):
             x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
 
         # Post-norm residuals (reference models/layers.py:296-297).
-        drop = DropPath(self.drop_path_rate, name="drop_path")
-        x = shortcut + drop(apply_layer_norm(x, *ln1), deterministic)
-        y = mlp(x, deterministic=deterministic)
-        if not deterministic:
-            # named for the save_only_these_names remat policy
-            # (cfg.remat_save_mlp); training-only for compile-cache
-            # stability of inference programs
-            from jax.ad_checkpoint import checkpoint_name
+        if deterministic:
+            # (DropPath is an identity here; reference applies it at rate 0)
+            x = shortcut + apply_layer_norm(x, *ln1)
+            y = mlp(x, deterministic=True)
+            return x + apply_layer_norm(y, *ln2)
 
-            y = checkpoint_name(y, "mlp_out")
-        x = x + drop(apply_layer_norm(y, *ln2), deterministic)
-        return x
+        # Training epilogues: each post-norm residual runs as ONE op
+        # (flash-style Pallas each way on TPU bf16; the equivalent XLA
+        # composition elsewhere). The per-sample droppath draw becomes a
+        # per-row branch scale (mask/keep, ones when inactive): same
+        # distribution as DropPath, fresh randomness per residual like
+        # timm's per-call DropPath in the reference (models/layers.py:296-297).
+        def dp_scale():
+            if self.drop_path_rate <= 0.0:
+                return jnp.ones((b, 1, 1, 1, 1), jnp.float32)
+            keep = 1.0 - self.drop_path_rate
+            m = jax.random.bernoulli(self.make_rng("droppath"), keep,
+                                     (b, 1, 1, 1, 1))
+            return jnp.where(m, jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+        sc1 = dp_scale()
+        if self.use_pallas:
+            from pangu_tpu.ops.fused_epilogue import fused_residual_postnorm
+
+            x = fused_residual_postnorm(shortcut, x, ln1[0], ln1[1], sc1)
+        else:
+            branch = sc1 * apply_layer_norm(x, *ln1).astype(jnp.float32)
+            x = (shortcut.astype(jnp.float32) + branch).astype(x.dtype)
+        # MLP + norm2 + stochastic depth + residual (Mlp._finish keeps the
+        # "mlp_out" remat name on the non-Pallas fallback).
+        bs = jnp.broadcast_to(dp_scale(), (b, z, hp, w, 1))
+        return mlp(x, ln=ln2, deterministic=False, postnorm_scale=bs)
 
 
 class EarthSpecificLayer(nn.Module):

@@ -351,3 +351,243 @@ def _raw_bwd(res, g):
 
 
 fused_mlp.defvjp(_raw_fwd, _raw_bwd)
+
+
+# A/B switch (scripts/bench_train_ab.py): False routes the training block
+# tail through raw fused_mlp + the unfused XLA epilogue (pre-fusion path).
+_POSTNORM_FUSION = True
+
+
+# ---------------------------------------------------------------------------
+# Trainable post-norm MLP: the FULL second half of an Earth-Specific block —
+#     out = x + s * LayerNorm(GELU(x@W1+b1)@W2+b2)
+# with a per-row branch scale ``s`` (stochastic-depth mask / keep-prob, ones
+# when inactive) — in ONE Pallas program each way. Compared to composing
+# fused_mlp + XLA LayerNorm/DropPath/residual, this removes ~4 full-tensor
+# HBM round trips per block (the LN fwd, LN bwd, residual add and droppath
+# select fusions measured at ~1.2-1.6 ms each at full geometry). The
+# backward recomputes the hidden AND the pre-LN output per chunk in VMEM
+# (one extra (chunk,4C)x(4C,C) dot vs the raw flash backward, ~+20% MLP
+# backward FLOPs — a net win against the removed HBM traffic,
+# docs/PERFORMANCE.md round 3).
+# ---------------------------------------------------------------------------
+
+
+def _postnorm_xla(x2d, w1, b1, w2, b2, scale, bias, s, precision=None):
+    y = (jnp.einsum("rc,cf->rf", x2d, w1, precision=precision,
+                    preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32)).astype(x2d.dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    y = (jnp.einsum("rf,fc->rc", y, w2, precision=precision,
+                    preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32))
+    y = _layer_norm_f32(y, scale.astype(jnp.float32), bias.astype(jnp.float32))
+    return (x2d.astype(jnp.float32) + s * y).astype(x2d.dtype)
+
+
+def _make_postnorm_fwd_kernel():
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref, t_ref, sc_ref,
+               out_ref):
+        x = x_ref[:]
+        h = jax.lax.dot_general(
+            x, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:].astype(jnp.float32)
+        h = _gelu_exact_f32(h).astype(x.dtype)
+        y = jax.lax.dot_general(
+            h, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:].astype(jnp.float32)
+        y = _layer_norm_f32(y, s_ref[:].astype(jnp.float32),
+                            t_ref[:].astype(jnp.float32))
+        out_ref[:] = (x.astype(jnp.float32) + sc_ref[:] * y).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_postnorm_bwd_kernel():
+    def kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, lb_ref,
+               sc_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+               dls_ref, dlb_ref, dsc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_ref[:] = jnp.zeros_like(dw1_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+            dls_ref[:] = jnp.zeros_like(dls_ref)
+            dlb_ref[:] = jnp.zeros_like(dlb_ref)
+
+        def dot(a, b, ta=False, tb=False):
+            dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        x = x_ref[:]
+        gf = g_ref[:].astype(jnp.float32)
+        sc = sc_ref[:]  # (chunk, 1) f32
+        gamma = ls_ref[:].astype(jnp.float32)
+
+        # recompute hidden AND pre-LN output (neither stored in HBM)
+        h = dot(x, w1_ref[:]) + b1_ref[:].astype(jnp.float32)
+        a = _gelu_exact_f32(h).astype(x.dtype)
+        y = dot(a, w2_ref[:]) + b2_ref[:].astype(jnp.float32)
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        yhat = (y - mu) * r
+
+        # branch-scale grad (true value; the droppath mask is a constant in
+        # practice, but correctness keeps grad-checks honest)
+        lnout = yhat * gamma + lb_ref[:].astype(jnp.float32)
+        dsc_ref[:] = jnp.sum(gf * lnout, axis=-1, keepdims=True)
+
+        gb = gf * sc
+        dls_ref[:] += jnp.sum(gb * yhat, axis=0, keepdims=True)
+        dlb_ref[:] += jnp.sum(gb, axis=0, keepdims=True)
+        dyhat = gb * gamma
+        dy = r * (dyhat
+                  - jnp.mean(dyhat, axis=-1, keepdims=True)
+                  - yhat * jnp.mean(dyhat * yhat, axis=-1, keepdims=True))
+        dyw = dy.astype(x.dtype)
+
+        db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+        dw2_ref[:] += dot(a, dyw, ta=True)
+        dh = dot(dyw, w2_ref[:], tb=True) * _gelu_grad_f32(h)
+        dhw = dh.astype(x.dtype)
+        db1_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+        dw1_ref[:] += dot(x, dhw, ta=True)
+        dx_ref[:] = (dot(dhw, w1_ref[:], tb=True) + gf).astype(dx_ref.dtype)
+
+    return kernel
+
+
+@jax.custom_vjp
+def fused_mlp_postnorm(x, w1, b1, w2, b2, ln_scale, ln_bias, branch_scale):
+    """(..., C) -> x + branch_scale * LN(GELU(x@W1+b1)@W2+b2).
+
+    ``branch_scale``: per-row (prod(leading), 1) f32 — the stochastic-depth
+    mask/keep factor (ones when droppath is inactive). Training-path op:
+    flash-style Pallas forward AND backward on TPU bf16, XLA elsewhere."""
+    return _postnorm_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                             branch_scale)
+
+
+def _postnorm_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, branch_scale):
+    shape = x.shape
+    c = shape[-1]
+    rows = int(np.prod(shape[:-1]))
+    x2d = x.reshape(rows, c)
+    s2d = branch_scale.reshape(rows, 1).astype(jnp.float32)
+    chunk = _use_pallas_mlp(x, rows, c)
+    if chunk == 0:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+        return _postnorm_xla(x2d, w1, b1, w2, b2, ln_scale, ln_bias, s2d,
+                             precision=prec).reshape(shape)
+
+    hidden = w1.shape[1]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _make_postnorm_fwd_kernel(),
+        grid=(rows // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec(w1), const_spec(b1), const_spec(w2), const_spec(b2),
+            const_spec(ln_scale), const_spec(ln_bias),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * c * hidden * 2,
+            bytes_accessed=2 * rows * c * x.dtype.itemsize,
+            transcendentals=rows * hidden,
+        ),
+    )(x2d, w1, b1, w2, b2, ln_scale, ln_bias, s2d)
+    return out.reshape(shape)
+
+
+def _postnorm_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, branch_scale):
+    return (_postnorm_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                              branch_scale),
+            (x, w1, b1, w2, b2, ln_scale, ln_bias, branch_scale))
+
+
+def _postnorm_bwd(res, g):
+    x, w1, b1, w2, b2, ln_scale, ln_bias, branch_scale = res
+    shape = x.shape
+    c = shape[-1]
+    rows = int(np.prod(shape[:-1]))
+    x2d = x.reshape(rows, c)
+    g2d = g.reshape(rows, c)
+    s2d = branch_scale.reshape(rows, 1).astype(jnp.float32)
+
+    chunk = _use_pallas_mlp(x, rows, c)
+    if chunk == 0:
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+        _, vjp = jax.vjp(
+            lambda *a: _postnorm_xla(*a, precision=prec),
+            x2d, w1, b1, w2, b2, ln_scale, ln_bias, s2d)
+        dx, dw1, db1, dw2, db2, dls, dlb, ds = vjp(g2d)
+        return (dx.reshape(shape), dw1, db1, dw2, db2, dls, dlb,
+                ds.reshape(branch_scale.shape).astype(branch_scale.dtype))
+
+    hidden = w1.shape[1]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    chunk_spec = pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    acc = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                   memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2, dls, dlb, ds = pl.pallas_call(
+        _make_postnorm_bwd_kernel(),
+        grid=(rows // chunk,),
+        in_specs=[chunk_spec, chunk_spec,
+                  const_spec(w1), const_spec(b1), const_spec(w2),
+                  const_spec(b2), const_spec(ln_scale), const_spec(ln_bias),
+                  s_spec],
+        out_specs=(chunk_spec, acc((c, hidden)), acc((1, hidden)),
+                   acc((hidden, c)), acc((1, c)),
+                   acc((1, c)), acc((1, c)), s_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, c), x.dtype),
+            jax.ShapeDtypeStruct((c, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * rows * c * hidden * 2,
+            bytes_accessed=3 * rows * c * x.dtype.itemsize,
+            transcendentals=2 * rows * hidden,
+        ),
+    )(x2d, g2d, w1, b1, w2, b2, ln_scale, ln_bias, s2d)
+    return (dx.reshape(shape), dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
+            dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            ds.reshape(branch_scale.shape).astype(branch_scale.dtype))
+
+
+fused_mlp_postnorm.defvjp(_postnorm_fwd, _postnorm_bwd)

@@ -8,8 +8,11 @@ through the tunneled compile service.
 
 Usage: python scripts/bench_train_ab.py [variant ...]
 Variants: base (bf16+remat, the bench.py default), noremat, xla_mlp,
-save_attn (remat with the attention output saved — backward skips the
-attention-forward remat recompute). Default: base xla_mlp noremat.
+save_attn / save_attn_mlp (remat with attention / +MLP outputs saved),
+xla_epilogue (attention-side fused_residual_postnorm routed through XLA),
+unfused_tail (MLP-side fused_mlp_postnorm routed through raw fused_mlp +
+XLA epilogue), xla_tails (both postnorm fusions off — the pre-fusion
+round-3 state). Default: base xla_mlp noremat.
 """
 
 from __future__ import annotations
@@ -46,13 +49,28 @@ def run_variant(name: str) -> float:
         kw["remat_save_mlp"] = True
     cfg = pangu_pretrain(**kw)
 
+    from pangu_tpu.ops import fused_mlp as fm
+
     if name == "xla_mlp":
         # disable the raw fused-MLP custom_vjp: route Mlp through the XLA
         # einsum chain (the pre-round-3 training path)
-        from pangu_tpu.ops import fused_mlp as fm
-
         fm_orig = fm._use_pallas_mlp
         fm._use_pallas_mlp = lambda x, rows, c: 0
+    if name == "unfused_tail":
+        # raw fused_mlp + unfused XLA LN/droppath/residual epilogue (the
+        # pre-postnorm-fusion round-3 path)
+        fm._POSTNORM_FUSION = False
+    if name in ("xla_epilogue", "xla_tails"):
+        # attention-side residual epilogue through the XLA chain instead of
+        # the fused_residual_postnorm Pallas kernels
+        from pangu_tpu.ops import fused_epilogue as fe
+
+        fe_orig = fe._use_pallas
+        fe._use_pallas = lambda x: False
+    if name == "xla_tails":
+        # both training-epilogue fusions off: the round-3 state before the
+        # postnorm-tail kernels (raw fused_mlp + XLA LN/droppath/residual)
+        fm._POSTNORM_FUSION = False
     m = cfg.model
     aux = synthetic_aux_constants(m, cfg.train)
     model = PanguModel(m)
@@ -67,6 +85,14 @@ def run_variant(name: str) -> float:
     finally:
         if name == "xla_mlp":
             fm._use_pallas_mlp = fm_orig
+        if name == "unfused_tail":
+            fm._POSTNORM_FUSION = True
+        if name == "xla_tails":
+            fm._POSTNORM_FUSION = True
+        if name in ("xla_epilogue", "xla_tails"):
+            from pangu_tpu.ops import fused_epilogue as fe
+
+            fe._use_pallas = fe_orig
     return value
 
 

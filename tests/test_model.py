@@ -101,6 +101,28 @@ def test_param_count_pretrained_config():
     assert total_bias == 4 * 124 * 6 * 144 * 144 + 12 * 64 * 12 * 144 * 144
 
 
+def test_mlp_tail_mode_matches_unfused(rng):
+    """Mlp's tail mode (postnorm_scale given) must equal the composed
+    x + scale * LN(mlp(x)) formulation — the XLA fallback of the fused
+    training block tail (ops/fused_mlp.py::fused_mlp_postnorm)."""
+    from pangu_tpu.model.blocks import Mlp, apply_layer_norm
+
+    dim = 16
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, dim)), jnp.float32)
+    mlp = Mlp(dim)
+    params = mlp.init(jax.random.PRNGKey(0), x)
+    ln = (jnp.asarray(1.0 + 0.1 * rng.standard_normal(dim), jnp.float32),
+          jnp.asarray(0.1 * rng.standard_normal(dim), jnp.float32))
+    # droppath-like per-row scale: mix of 0 and 1/keep
+    sc = jnp.asarray(
+        np.where(rng.uniform(size=(2, 3, 4, 1)) > 0.4, 2.0, 0.0), jnp.float32)
+
+    got = mlp.apply(params, x, ln=ln, deterministic=False, postnorm_scale=sc)
+    y = mlp.apply(params, x, deterministic=False)
+    ref = x + sc * apply_layer_norm(y, *ln)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_deterministic_vs_droppath(tiny):
     cfg, model, params, upper, surface, aux = tiny
     out1, _ = model.apply(params, upper, surface, aux, deterministic=True)

@@ -210,6 +210,86 @@ def test_onehot_patchify_matches_reshape(rng):
 
 
 @pytest.mark.parametrize("rows,c", [(1440 * 4, 192), (720 * 4, 384)])
+def test_fused_residual_postnorm_grads_match_xla(rng, rows, c):
+    """The attention-side training epilogue — shortcut + s*LN(a) as one
+    Pallas program each way — must agree with the XLA chain, values and
+    every gradient (round-3 lever)."""
+    from pangu_tpu.ops.fused_epilogue import _res_xla, fused_residual_postnorm
+
+    sh = jnp.asarray(rng.standard_normal((rows, c)), jnp.bfloat16)
+    a = jnp.asarray(rng.standard_normal((rows, c)), jnp.bfloat16)
+    ls = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    sc = jnp.asarray(
+        np.where(rng.uniform(size=(rows, 1)) > 0.3, 1.0 / 0.7, 0.0),
+        jnp.float32,
+    )
+
+    args = (sh, a, ls, lb, sc)
+    got = np.asarray(jax.jit(fused_residual_postnorm)(*args), np.float32)
+    ref = np.asarray(_res_xla(sh, a, ls, lb, sc), np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+    def loss_pallas(*a_):
+        return jnp.sum(jnp.cos(
+            fused_residual_postnorm(*a_, sc).astype(jnp.float32)))
+
+    def loss_xla(*a_):
+        return jnp.sum(jnp.cos(_res_xla(*a_, sc).astype(jnp.float32)))
+
+    gp = jax.jit(jax.grad(loss_pallas, argnums=tuple(range(4))))(*args[:4])
+    gx = jax.jit(jax.grad(loss_xla, argnums=tuple(range(4))))(*args[:4])
+    for name, a_, b_ in zip(("dsh", "da", "dls", "dlb"), gp, gx):
+        a_ = np.asarray(a_, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        denom = np.abs(b_).max() + 1e-9
+        assert np.abs(a_ - b_).max() / denom < 2e-2, name
+
+
+@pytest.mark.parametrize("rows,c", [(1440 * 4, 192), (720 * 4, 384)])
+def test_fused_mlp_postnorm_grads_match_xla(rng, rows, c):
+    """The whole training block tail — x + s*LN(mlp(x)) with a per-row
+    stochastic-depth scale — as one Pallas program each way must agree with
+    the XLA composition, values and every gradient (round-3 lever)."""
+    from pangu_tpu.ops.fused_mlp import _postnorm_xla, fused_mlp_postnorm
+
+    x = jnp.asarray(rng.standard_normal((rows, c)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((4 * c,)) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.bfloat16)
+    ls = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    # droppath-like mix of kept (1/keep) and dropped (0) rows
+    sc = jnp.asarray(
+        np.where(rng.uniform(size=(rows, 1)) > 0.3, 1.0 / 0.7, 0.0),
+        jnp.float32,
+    )
+
+    args = (x, w1, b1, w2, b2, ls, lb, sc)
+    got = np.asarray(jax.jit(fused_mlp_postnorm)(*args), np.float32)
+    ref = np.asarray(_postnorm_xla(*args), np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+    def loss_pallas(*a):
+        return jnp.sum(jnp.cos(fused_mlp_postnorm(*a, sc).astype(jnp.float32)))
+
+    def loss_xla(*a):
+        return jnp.sum(jnp.cos(_postnorm_xla(*a, sc).astype(jnp.float32)))
+
+    gp = jax.jit(jax.grad(loss_pallas, argnums=tuple(range(7))))(*args[:7])
+    gx = jax.jit(jax.grad(loss_xla, argnums=tuple(range(7))))(*args[:7])
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2", "dls", "dlb"),
+                          gp, gx):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 2e-2, name
+
+
+@pytest.mark.parametrize("rows,c", [(1440 * 4, 192), (720 * 4, 384)])
 def test_fused_mlp_raw_grads_match_xla(rng, rows, c):
     """The raw-MLP flash backward (hidden recomputed in VMEM) must agree
     with the XLA einsum-chain gradients (round-3 train-step lever)."""
