@@ -7,9 +7,12 @@ on the (B, Z, H, W, C) grid with geometry from ``pangu_tpu.geometry``.
 
 On TPU inference the whole block runs as ONE fused Pallas megakernel
 (attention + norm1 + residual + MLP + norm2 + residual,
-ops/fused_block_attention.py::fused_earth_block). TPU bf16 training runs the
-Pallas attention kernel with a flash-style backward plus unfused epilogues
-(stochastic depth needs them); off-TPU paths use the equivalent XLA
+ops/fused_block_attention.py::fused_earth_block). TPU bf16 training runs
+three Pallas programs with flash-style custom backwards: the attention
+kernel, the attention-side residual epilogue
+(ops/fused_epilogue.py::fused_residual_postnorm) and the whole MLP tail
+(ops/fused_mlp.py::fused_mlp_postnorm) — stochastic depth rides in-kernel
+as a per-row branch scale. Off-TPU paths use the equivalent XLA
 formulation.
 """
 
@@ -170,23 +173,6 @@ class Mlp(nn.Module):
             y = checkpoint_name(y, "mlp_out")
         branch = postnorm_scale * apply_layer_norm(y, *ln).astype(jnp.float32)
         return (x.astype(jnp.float32) + branch).astype(x.dtype)
-
-
-class DropPath(nn.Module):
-    """Per-sample stochastic depth (role of timm DropPath in
-    reference models/layers.py:171-172)."""
-
-    rate: float
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        if deterministic or self.rate == 0.0:
-            return x
-        keep = 1.0 - self.rate
-        rng = self.make_rng("droppath")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape=shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
 class EarthSpecificBlock(nn.Module):
