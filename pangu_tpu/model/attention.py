@@ -201,7 +201,12 @@ class EarthAttention3D(nn.Module):
             self.param_dtype,
         )
         if collect_only:
-            return wqkv, bqkv, wproj, bproj, bias
+            # the last element tells caller-side fused kernels whether
+            # unmerged LoRA adapters ride this module (they modify q/k/v
+            # inside the dot, which a collected-weights kernel cannot model)
+            lora = (self.has_variable("lora", "qkv")
+                    or self.has_variable("lora", "proj"))
+            return wqkv, bqkv, wproj, bproj, bias, lora
         b, z, hp, w, c = x.shape
 
         # An ACTIVE dropout (rate > 0, training) needs per-probability rng

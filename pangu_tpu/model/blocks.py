@@ -5,15 +5,17 @@ including the post-norm residual order ``x = shortcut + drop_path(norm(attn))``
 (models/layers.py:296-297) and all asymmetric lat pad/crop rules — but operate
 on the (B, Z, H, W, C) grid with geometry from ``pangu_tpu.geometry``.
 
-On TPU inference the whole block runs as ONE fused Pallas megakernel
-(attention + norm1 + residual + MLP + norm2 + residual,
-ops/fused_block_attention.py::fused_earth_block). TPU bf16 training runs
-three Pallas programs with flash-style custom backwards: the attention
-kernel, the attention-side residual epilogue
+On TPU the whole block runs as ONE fused Pallas megakernel each way:
+inference uses ops/fused_block_attention.py::fused_earth_block; bf16
+training uses ops/fused_block_train.py::fused_earth_block_train, whose
+flash-style custom backward recomputes the block per window-slab in VMEM —
+stochastic depth rides in-kernel as a per-sample branch scale. When the
+megakernels cannot model the run (active dropout, unmerged LoRA, non-TPU,
+f32) the block falls back to the unfused composition: the attention kernel,
+the attention-side residual epilogue
 (ops/fused_epilogue.py::fused_residual_postnorm) and the whole MLP tail
-(ops/fused_mlp.py::fused_mlp_postnorm) — stochastic depth rides in-kernel
-as a per-row branch scale. Off-TPU paths use the equivalent XLA
-formulation.
+(ops/fused_mlp.py::fused_mlp_postnorm), or the equivalent XLA formulation
+off-TPU.
 """
 
 from __future__ import annotations
@@ -92,8 +94,11 @@ class Mlp(nn.Module):
                              param_dtype=self.param_dtype, name="fc2")()
         if collect_only:
             # hand the raw weights to a caller-side fused kernel (the block
-            # megakernel) without changing the param tree layout
-            return w1, b1, w2, b2
+            # megakernel) without changing the param tree layout; the last
+            # element flags unmerged LoRA adapters the kernel cannot model
+            lora = (self.has_variable("lora", "fc1")
+                    or self.has_variable("lora", "fc2"))
+            return w1, b1, w2, b2, lora
         drop_active = self.dropout_rate > 0.0 and not deterministic
         # Unmerged LoRA adapters modify the hidden before GELU — the fused
         # kernels cannot model that, so their presence routes to the XLA path
@@ -254,31 +259,77 @@ class EarthSpecificBlock(nn.Module):
             name="attn",
         )
 
-        if fused:
+        # Training-path whole-block fusion: same megakernel shape but with a
+        # flash BACKWARD (ops/fused_block_train.py) — the attention kernel,
+        # both post-norm residual epilogues and the MLP run as ONE Pallas
+        # program each way, with the stochastic-depth scales applied
+        # in-kernel. Saves only the block inputs, so nn.remat around the
+        # block has nothing left to recompute.
+        train_fused = (
+            self.use_pallas
+            and not deterministic
+            and jax.default_backend() == "tpu"
+            and jnp.dtype(self.compute_dtype) == jnp.bfloat16
+            and self.dropout_rate == 0.0
+        )
+
+        def dp_scale():
+            if self.drop_path_rate <= 0.0:
+                return jnp.ones((b, 1, 1, 1, 1), jnp.float32)
+            keep = 1.0 - self.drop_path_rate
+            m = jax.random.bernoulli(self.make_rng("droppath"), keep,
+                                     (b, 1, 1, 1, 1))
+            return jnp.where(m, jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+        if fused or train_fused:
             # Whole-block megakernel: attention + both post-norm residuals +
             # MLP in ONE Pallas program (rolls commute with the per-token
-            # epilogues; pad rows carry garbage that the next block re-zeroes
-            # and the layer finally crops).
-            from pangu_tpu.ops.fused_block_attention import fused_earth_block
-
-            wqkv, bqkv, wproj, bproj, bias = attn(None, None, collect_only=True)
-            w1, b1, w2, b2 = mlp(None, collect_only=True)
+            # epilogues — incl. the per-SAMPLE droppath scales; pad rows
+            # carry garbage that the next block re-zeroes and the layer
+            # finally crops). Unmerged LoRA adapters modify q/k/v and the
+            # MLP hidden inside the dots, which a collected-weights kernel
+            # cannot model — their presence falls through to the unfused
+            # formulation below.
+            wqkv, bqkv, wproj, bproj, bias_tbl, attn_lora = attn(
+                None, None, collect_only=True)
+            w1, b1, w2, b2, mlp_lora = mlp(None, collect_only=True)
             cdt = self.compute_dtype
-            x = fused_earth_block(
-                x.astype(cdt),
-                wqkv.astype(cdt), bqkv.astype(cdt),
-                wproj.astype(cdt), bproj.astype(cdt),
-                bias.astype(jnp.float32),
-                None if mask is None else mask.astype(jnp.float32),
-                ln1[0].astype(jnp.float32), ln1[1].astype(jnp.float32),
-                w1.astype(cdt), b1.astype(cdt),
-                w2.astype(cdt), b2.astype(cdt),
-                ln2[0].astype(jnp.float32), ln2[1].astype(jnp.float32),
-                st.window, self.heads, (self.dim // self.heads) ** -0.5,
-            )
-            if self.shifted:
-                x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
-            return x
+            if not (attn_lora or mlp_lora):
+                common = (
+                    x.astype(cdt),
+                    wqkv.astype(cdt), bqkv.astype(cdt),
+                    wproj.astype(cdt), bproj.astype(cdt),
+                    bias_tbl.astype(jnp.float32),
+                    None if mask is None else mask.astype(jnp.float32),
+                    ln1[0].astype(jnp.float32), ln1[1].astype(jnp.float32),
+                    w1.astype(cdt), b1.astype(cdt),
+                    w2.astype(cdt), b2.astype(cdt),
+                    ln2[0].astype(jnp.float32), ln2[1].astype(jnp.float32),
+                )
+                statics = (st.window, self.heads,
+                           (self.dim // self.heads) ** -0.5)
+                if train_fused:
+                    from pangu_tpu.ops import fused_block_train as fbt
+
+                    if fbt._TRAIN_FUSION:
+                        sc1 = dp_scale().reshape(b, 1)
+                        sc2 = dp_scale().reshape(b, 1)
+                        x = fbt.fused_earth_block_train(
+                            *common, sc1, sc2, *statics)
+                        if self.shifted:
+                            x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2),
+                                         axis=(1, 2, 3))
+                        return x
+                else:
+                    from pangu_tpu.ops.fused_block_attention import (
+                        fused_earth_block,
+                    )
+
+                    x = fused_earth_block(*common, *statics)
+                    if self.shifted:
+                        x = jnp.roll(x, shift=(wz // 2, wh // 2, ww // 2),
+                                     axis=(1, 2, 3))
+                    return x
 
         x = attn(x, mask, deterministic=deterministic)
         if not deterministic:
@@ -300,20 +351,12 @@ class EarthSpecificBlock(nn.Module):
             y = mlp(x, deterministic=True)
             return x + apply_layer_norm(y, *ln2)
 
-        # Training epilogues: each post-norm residual runs as ONE op
-        # (flash-style Pallas each way on TPU bf16; the equivalent XLA
-        # composition elsewhere). The per-sample droppath draw becomes a
-        # per-row branch scale (mask/keep, ones when inactive): same
-        # distribution as DropPath, fresh randomness per residual like
-        # timm's per-call DropPath in the reference (models/layers.py:296-297).
-        def dp_scale():
-            if self.drop_path_rate <= 0.0:
-                return jnp.ones((b, 1, 1, 1, 1), jnp.float32)
-            keep = 1.0 - self.drop_path_rate
-            m = jax.random.bernoulli(self.make_rng("droppath"), keep,
-                                     (b, 1, 1, 1, 1))
-            return jnp.where(m, jnp.float32(1.0 / keep), jnp.float32(0.0))
-
+        # Training epilogues (unfused fallback — XLA/CPU, active dropout or
+        # unmerged LoRA): each post-norm residual runs as ONE op. The
+        # per-sample droppath draw becomes a per-row branch scale (mask/keep,
+        # ones when inactive): same distribution as DropPath, fresh
+        # randomness per residual like timm's per-call DropPath in the
+        # reference (models/layers.py:296-297).
         sc1 = dp_scale()
         if self.use_pallas:
             from pangu_tpu.ops.fused_epilogue import fused_residual_postnorm

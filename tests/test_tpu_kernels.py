@@ -320,3 +320,91 @@ def test_fused_mlp_raw_grads_match_xla(rng, rows, c):
         b = np.asarray(b, np.float32)
         denom = np.abs(b).max() + 1e-9
         assert np.abs(a - b).max() / denom < 2e-2, name
+
+
+def _block_train_inputs(rng, z, hp, w, c, heads, masked, b=1):
+    nt = (z // 2) * (hp // 6)
+    mk = lambda s, scl: jnp.asarray(rng.standard_normal(s) * scl,
+                                    jnp.bfloat16)
+    args = dict(
+        x=mk((b, z, hp, w, c), 0.5),
+        wqkv=mk((c, 3 * c), 0.05), bqkv=mk((3 * c,), 0.01),
+        wproj=mk((c, c), 0.05), bproj=mk((c,), 0.01),
+        bias=jnp.asarray(rng.standard_normal((nt, heads, 144, 144)) * 0.02,
+                         jnp.float32),
+        mask=(jnp.asarray(
+            np.where(rng.uniform(size=(nt, 144, 144)) > 0.8, -100.0, 0.0),
+            jnp.float32) if masked else None),
+        ln1_s=jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32),
+        ln1_b=jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32),
+        w1=mk((c, 4 * c), 0.05), b1=mk((4 * c,), 0.01),
+        w2=mk((4 * c, c), 0.05), b2=mk((c,), 0.01),
+        ln2_s=jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32),
+        ln2_b=jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32),
+        s1=jnp.asarray(rng.uniform(0.5, 1.5, (b, 1)), jnp.float32),
+        s2=jnp.asarray(rng.uniform(0.5, 1.5, (b, 1)), jnp.float32),
+    )
+    order = ("x", "wqkv", "bqkv", "wproj", "bproj", "bias", "mask",
+             "ln1_s", "ln1_b", "w1", "b1", "w2", "b2", "ln2_s", "ln2_b",
+             "s1", "s2")
+    return args, order, ((2, 6, 12), heads, (c // heads) ** -0.5)
+
+
+@pytest.mark.parametrize("z,hp,w,c,heads", [
+    (8, 186, 48, 192, 6),
+    (8, 96, 24, 384, 12),
+])
+@pytest.mark.parametrize("masked", [False, True])
+def test_block_train_forward_matches_xla(rng, z, hp, w, c, heads, masked):
+    """The TRAINING block megakernel forward (with in-kernel stochastic-depth
+    scales) must match the XLA block-train formula."""
+    from pangu_tpu.ops.fused_block_train import (
+        _xla_block_train,
+        fused_earth_block_train,
+    )
+
+    a, order, statics = _block_train_inputs(rng, z, hp, w, c, heads, masked)
+    args = [a[k] for k in order]
+    got = jax.jit(lambda *v: fused_earth_block_train(*v, *statics))(*args)
+    ref = jax.jit(lambda *v: _xla_block_train(*v, *statics))(*args)
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+
+@pytest.mark.parametrize("z,hp,w,c,heads", [
+    (8, 186, 48, 192, 6),
+    (8, 96, 24, 384, 12),
+])
+@pytest.mark.parametrize("masked", [False, True])
+def test_block_train_backward_matches_xla(rng, z, hp, w, c, heads, masked):
+    """The flash block backward (whole block recomputed per window-slab in
+    VMEM) must agree with the XLA-formula gradients for EVERY input,
+    including the LayerNorm params and the droppath branch scales."""
+    from pangu_tpu.ops.fused_block_train import (
+        _xla_block_train,
+        fused_earth_block_train,
+    )
+
+    a, order, statics = _block_train_inputs(rng, z, hp, w, c, heads, masked)
+    diff = [k for k in order if k != "mask"]
+
+    def mk_loss(fn):
+        def loss(*dargs):
+            full = dict(zip(diff, dargs), mask=a["mask"])
+            o = fn(*[full[k] for k in order], *statics)
+            return jnp.sum(jnp.cos(o.astype(jnp.float32)))
+
+        return loss
+
+    args = [a[k] for k in diff]
+    gp = jax.jit(jax.grad(mk_loss(fused_earth_block_train),
+                          argnums=tuple(range(len(diff)))))(*args)
+    gx = jax.jit(jax.grad(mk_loss(_xla_block_train),
+                          argnums=tuple(range(len(diff)))))(*args)
+    for name, p, r in zip(diff, gp, gx):
+        p = np.asarray(p, np.float32)
+        r = np.asarray(r, np.float32)
+        denom = np.abs(r).max() + 1e-9
+        assert np.abs(p - r).max() / denom < 3e-2, name
