@@ -59,6 +59,19 @@ def is_main() -> bool:
     return jax.process_index() == 0
 
 
+def _backend_initialized() -> bool:
+    """True when a jax backend already exists (so replacing it is the only
+    way to change platforms). Uses a private probe because every public API
+    *creates* the backend as a side effect; on any doubt, answer True and
+    take the conservative path."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:
+        return True
+
+
 def ensure_virtual_devices(n_devices: int, allow_replace_backend: bool = False):
     """Bootstrap an n-device virtual CPU platform when real devices are
     insufficient (the TPU-native answer to \"multi-node without a cluster\",
@@ -73,6 +86,20 @@ def ensure_virtual_devices(n_devices: int, allow_replace_backend: bool = False):
     a real multi-device backend should pass ``allow_replace_backend=False``
     so a mistyped mesh size fails loudly instead of degrading to CPU.
     """
+    if allow_replace_backend and not _backend_initialized():
+        # No backend exists yet and the environment asks for a CPU run
+        # (the driver dryrun sets xla_force_host_platform_device_count) —
+        # pin the platform BEFORE any device discovery. Probing
+        # jax.devices() first would initialize the environment's default
+        # plugin, which through a dead device tunnel HANGS rather than
+        # raising, deadlocking a validation entry point that never wanted
+        # the device in the first place.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if ("xla_force_host_platform_device_count" in flags
+                or os.environ.get("JAX_PLATFORMS") == "cpu"):
+            jax.config.update("jax_platforms", "cpu")
+            if "xla_force_host_platform_device_count" not in flags:
+                jax.config.update("jax_num_cpu_devices", n_devices)
     try:
         have = len(jax.devices())
     except Exception:

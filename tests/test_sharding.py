@@ -323,3 +323,31 @@ def test_ensure_virtual_devices_requires_opt_in():
     assert len(ensure_virtual_devices(min(have, 1))) == min(have, 1)
     with pytest.raises(RuntimeError, match="allow_replace_backend"):
         ensure_virtual_devices(have + 8)
+
+
+def test_ensure_virtual_devices_pins_cpu_before_discovery():
+    """With the host-platform flag set and no backend initialized yet,
+    ensure_virtual_devices must bootstrap the CPU platform WITHOUT probing
+    the default plugin first: through a dead device tunnel that probe hangs
+    (not raises), deadlocking validation entry points like the driver's
+    dryrun_multichip."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, os.getcwd())\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=6'\n"
+        "os.environ.pop('JAX_PLATFORMS', None)\n"
+        "from pangu_tpu.parallel.mesh import ensure_virtual_devices\n"
+        "devs = ensure_virtual_devices(6, allow_replace_backend=True)\n"
+        "assert all(d.platform == 'cpu' for d in devs), devs\n"
+        "print('OK', len(devs))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "OK 6" in out.stdout, (out.stdout, out.stderr[-500:])
