@@ -70,11 +70,34 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _start_watchdog() -> None:
+    """Periodic stderr heartbeat. Device initialization through the tunnel
+    HANGS (rather than raising) when the tunnel is down; if this process is
+    killed by the harness, the heartbeat in the captured tail is the
+    difference between a diagnosable artifact and a silent rc=124."""
+    import threading
+
+    def beat():
+        n = 0
+        while True:
+            time.sleep(60)
+            n += 1
+            _note(f"watchdog: still running ({n} min) — if no progress "
+                  f"notes follow, device init/compile is blocked "
+                  f"(tunnel down?)")
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
 def main() -> None:
+    _start_watchdog()
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
+
+    _note("initializing device backend")
+    _note(f"backend: {jax.default_backend()} x{len(jax.devices())}")
 
     from pangu_tpu.aux import norm_back_data, synthetic_aux_constants
     from pangu_tpu.config import pangu_pretrain

@@ -12,7 +12,8 @@ save_attn / save_attn_mlp (remat with attention / +MLP outputs saved),
 xla_epilogue (attention-side fused_residual_postnorm routed through XLA),
 unfused_tail (MLP-side fused_mlp_postnorm routed through raw fused_mlp +
 XLA epilogue), xla_tails (both postnorm fusions off — the pre-fusion
-round-3 state). Default: base xla_mlp noremat.
+round-3 state), unfused_block (block-train megakernel off: the separate
+attention + epilogue + MLP-postnorm kernels). Default: base unfused_block.
 """
 
 from __future__ import annotations
@@ -49,8 +50,14 @@ def run_variant(name: str) -> float:
         kw["remat_save_mlp"] = True
     cfg = pangu_pretrain(**kw)
 
+    from pangu_tpu.ops import fused_block_train as fbt
     from pangu_tpu.ops import fused_mlp as fm
 
+    if name in ("unfused_block", "xla_mlp", "unfused_tail", "xla_epilogue",
+                "xla_tails"):
+        # every pre-megakernel variant needs the block-train fusion off,
+        # or the switches below would never be reached
+        fbt._TRAIN_FUSION = False
     if name == "xla_mlp":
         # disable the raw fused-MLP custom_vjp: route Mlp through the XLA
         # einsum chain (the pre-round-3 training path)
@@ -83,6 +90,7 @@ def run_variant(name: str) -> float:
     try:
         value = bench.bench_train_step(cfg, model, aux, params, upper, surface)
     finally:
+        fbt._TRAIN_FUSION = True
         if name == "xla_mlp":
             fm._use_pallas_mlp = fm_orig
         if name == "unfused_tail":
@@ -100,7 +108,7 @@ def main() -> None:
     import bench
 
     bench._enable_compile_cache()
-    variants = sys.argv[1:] or ["base", "noremat", "xla_mlp"]
+    variants = sys.argv[1:] or ["base", "unfused_block"]
     out = {}
     for name in variants:
         try:
