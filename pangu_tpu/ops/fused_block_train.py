@@ -190,11 +190,6 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int,
         def _():
             dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-        @pl.when((zi == 0) & (hi == 0))
-        def _():
-            ds1_ref[:] = jnp.zeros_like(ds1_ref)
-            ds2_ref[:] = jnp.zeros_like(ds2_ref)
-
         def dot(a, b, ta=False, tb=False):
             dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
             return jax.lax.dot_general(
@@ -206,6 +201,13 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int,
         s2 = s2_ref[0, 0]
         gamma1 = ln1s_ref[:].astype(jnp.float32)
         gamma2 = ln2s_ref[:].astype(jnp.float32)
+        # ds1/ds2 accumulate in registers and are written ONCE per program:
+        # their blocks are indexed by bb, the innermost grid axis, so a
+        # read-modify-write block would be left and revisited non-contiguously
+        # (unlike every other accumulator here, which is either constant-
+        # mapped or changes only with the outer axes).
+        ds1_val = jnp.float32(0.0)
+        ds2_val = jnp.float32(0.0)
 
         for wi in range(wn):
             xw = x_ref[0, :, :, wi * ww:(wi + 1) * ww, :].reshape(t, c)
@@ -253,7 +255,7 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int,
 
             # ---- backward: MLP postnorm tail ----
             ln2_out = yhat2 * gamma2 + ln2b_ref[:].astype(jnp.float32)
-            ds2_ref[0, 0] += jnp.sum(gw * ln2_out)  # SMEM scalar
+            ds2_val += jnp.sum(gw * ln2_out)
             gb2 = gw * s2
             dln2s_ref[:] += jnp.sum(gb2 * yhat2, axis=0, keepdims=True)
             dln2b_ref[:] += jnp.sum(gb2, axis=0, keepdims=True)
@@ -272,7 +274,7 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int,
             dx1 = gw + dot(dh2w, w1_ref[:], tb=True)  # f32 (t, c)
 
             # ---- backward: attention-side epilogue ----
-            ds1_ref[0, 0] += jnp.sum(dx1 * ln1_out)
+            ds1_val += jnp.sum(dx1 * ln1_out)
             gb1 = dx1 * s1
             dln1s_ref[:] += jnp.sum(gb1 * yhat1, axis=0, keepdims=True)
             dln1b_ref[:] += jnp.sum(gb1, axis=0, keepdims=True)
@@ -319,6 +321,9 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int,
                 (dot(dqkvw, wqkv_ref[:], tb=True) + dx1)
                 .astype(dx_ref.dtype).reshape(wz, wh, ww, c)
             )
+
+        ds1_ref[0, 0, 0] = ds1_val
+        ds2_ref[0, 0, 0] = ds2_val
 
     return kernel
 
@@ -453,7 +458,7 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bproj, bias, mask,
 
     kernel = _make_bwd_kernel(window, w, c, heads, scale, mask is not None)
 
-    ds_spec = pl.BlockSpec((1, 1), lambda zi, hi, bb: (bb, 0),
+    ds_spec = pl.BlockSpec((1, 1, 1), lambda zi, hi, bb: (zi, hi, bb),
                            memory_space=pltpu.SMEM)
 
     def acc_spec(shp):
@@ -476,8 +481,8 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bproj, bias, mask,
         jax.ShapeDtypeStruct((1, c), f32),                 # db2
         jax.ShapeDtypeStruct((1, c), f32),                 # dln2_s
         jax.ShapeDtypeStruct((1, c), f32),                 # dln2_b
-        jax.ShapeDtypeStruct((b, 1), f32),                 # ds1
-        jax.ShapeDtypeStruct((b, 1), f32),                 # ds2
+        jax.ShapeDtypeStruct((zn, hn, b), f32),            # ds1 partials
+        jax.ShapeDtypeStruct((zn, hn, b), f32),            # ds2 partials
     )
     out_specs = (
         slab,
@@ -528,8 +533,8 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bproj, bias, mask,
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
             dln2s.reshape(ln2_s.shape).astype(ln2_s.dtype),
             dln2b.reshape(ln2_b.shape).astype(ln2_b.dtype),
-            ds1.reshape(s1.shape).astype(s1.dtype),
-            ds2.reshape(s2.shape).astype(s2.dtype))
+            jnp.sum(ds1, axis=(0, 1)).reshape(s1.shape).astype(s1.dtype),
+            jnp.sum(ds2, axis=(0, 1)).reshape(s2.shape).astype(s2.dtype))
 
 
 def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, ln1_s, ln1_b,
