@@ -67,6 +67,9 @@ def capture(out_dir: str, steps: int, save_attn: bool = False,
 
 GROUPS = (
     ("pallas attention", ("attn", "fused_block", "attention")),
+    # the train megakernel (fused_block_train) runs under the block scope,
+    # as did the epilogue kernels it replaced
+    ("pallas block", ("block",)),
     ("pallas mlp", ("raw_fwd", "raw_bwd", "mlp")),
     ("fusion", ("fusion",)),
     ("convert/reduce", ("convert", "reduce", "all-reduce")),
