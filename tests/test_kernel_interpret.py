@@ -21,12 +21,20 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from pangu_tpu.ops import fused_block_attention as fba
 from pangu_tpu.ops import fused_block_train as fbt
+from pangu_tpu.ops import fused_epilogue as fep
+from pangu_tpu.ops import fused_mlp as fml
 
 
 @pytest.fixture
 def interpret_tpu_route(monkeypatch):
-    """Force fused_block_train down its Pallas route with interpreted kernels."""
+    """Force every op down its Pallas route with interpreted kernels.
+
+    The ops gate on ``jax.default_backend() == "tpu"`` (directly or via a
+    module-local ``_use_pallas``); patching the public helper flips them all,
+    while ``interpret=True`` keeps execution on the host.
+    """
     real_call = pl.pallas_call
 
     def interp_call(*args, **kw):
@@ -35,8 +43,9 @@ def interpret_tpu_route(monkeypatch):
         kw.pop("compiler_params", None)
         return real_call(*args, **kw)
 
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(fbt, "_use_pallas", lambda x: True)
-    monkeypatch.setattr(fbt.pl, "pallas_call", interp_call)
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
 
 
 def _inputs(rng, z=2, hp=6, w=24, c=16, heads=2, masked=True, b=2):
@@ -127,3 +136,134 @@ def test_block_train_bwd_multiwindow_accumulators(rng, interpret_tpu_route):
         scale = max(1.0, float(np.abs(r).max()))
         np.testing.assert_allclose(g / scale, r / scale, rtol=0, atol=0.05,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def _assert_close(got, ref, name="out", atol=0.04):
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(got / scale, ref / scale, rtol=0, atol=atol,
+                               err_msg=name)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_attention_kernel_fwd_and_flash_bwd_interpreted(
+        rng, interpret_tpu_route, masked):
+    """fused_block_attention (no epilogue): interpreted Pallas forward and
+    the flash backward kernel vs the XLA reference's vjp."""
+    a, (window, heads, scale) = _inputs(rng, z=4, hp=6, w=24, masked=masked)
+    x, wqkv, bqkv, wproj, bproj, bias, mask = a[:7]
+
+    def f_pallas(x, wqkv, bqkv, wproj, bias):
+        out = fba.fused_block_attention(
+            x, wqkv, bqkv, wproj, bproj, bias, mask, None, None,
+            window, heads, scale)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def f_ref(x, wqkv, bqkv, wproj, bias):
+        out = fba._xla_reference(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                 window, heads, scale)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    args = (x, wqkv, bqkv, wproj, bias)
+    vp, gp = jax.value_and_grad(f_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+    vr, gr = jax.value_and_grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    _assert_close(vp, vr, "loss")
+    for name, g, r in zip(("x", "wqkv", "bqkv", "wproj", "bias"), gp, gr):
+        _assert_close(g, r, f"grad {name}", atol=0.05)
+
+
+def test_attention_kernel_epilogue_fwd_interpreted(rng, interpret_tpu_route):
+    """fused_block_attention with the in-kernel post-norm residual epilogue."""
+    a, (window, heads, scale) = _inputs(rng, masked=True)
+    x, wqkv, bqkv, wproj, bproj, bias, mask = a[:7]
+    ln_s, ln_b = a[7], a[8]
+    got = fba.fused_block_attention(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                    ln_s, ln_b, window, heads, scale)
+    ref = fba._xla_reference(x, wqkv, bqkv, wproj, bproj, bias,
+                             mask, window, heads, scale,
+                             ln_scale=ln_s, ln_bias=ln_b)
+    _assert_close(got, ref)
+
+
+def test_inference_megakernel_fwd_interpreted(rng, interpret_tpu_route):
+    """fused_earth_block (inference whole-block megakernel) forward."""
+    a, statics = _inputs(rng, masked=True)
+    args = a[:16]  # drop s1/s2 — the inference op has no droppath scales
+    got = fba.fused_earth_block(*args[:6], args[6], *args[7:15], *statics)
+    ref = fba._xla_block_reference(*args[:6], args[6], *args[7:15], *statics)
+    _assert_close(got, ref)
+
+
+def test_mlp_raw_kernels_interpreted(rng, interpret_tpu_route):
+    """fused_mlp raw forward + flash backward kernels (row-chunk grid)."""
+    c, rows = 16, 64
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.bfloat16)
+    x, w1, b1, w2, b2 = (mk(rows, c), mk(c, 4 * c), mk(4 * c),
+                         mk(4 * c, c), mk(c))
+
+    def f(fn):
+        def g(*p):
+            return jnp.sum(fn(*p).astype(jnp.float32) ** 2)
+        return g
+
+    vp, gp = jax.value_and_grad(f(fml.fused_mlp),
+                                argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    vr, gr = jax.value_and_grad(f(fml._raw_xla),
+                                argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    _assert_close(vp, vr, "loss")
+    for name, g, r in zip(("x", "w1", "b1", "w2", "b2"), gp, gr):
+        _assert_close(g, r, f"grad {name}", atol=0.05)
+
+
+def test_mlp_postnorm_kernels_interpreted(rng, interpret_tpu_route):
+    """fused_mlp_postnorm fwd + bwd kernels, with a droppath branch scale."""
+    c, rows = 16, 64
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.bfloat16)
+    mkf = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x, w1, b1, w2, b2 = (mk(rows, c), mk(c, 4 * c), mk(4 * c),
+                         mk(4 * c, c), mk(c))
+    ln_s, ln_b = 1.0 + mkf(c), mkf(c)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (rows, 1)), jnp.float32)
+
+    def f(fn):
+        def g(*p):
+            return jnp.sum(fn(*p, s).astype(jnp.float32) ** 2)
+        return g
+
+    args = (x, w1, b1, w2, b2, ln_s, ln_b)
+    vp, gp = jax.value_and_grad(
+        f(fml.fused_mlp_postnorm), argnums=tuple(range(7)))(*args)
+    vr, gr = jax.value_and_grad(
+        f(fml._postnorm_xla), argnums=tuple(range(7)))(*args)
+    _assert_close(vp, vr, "loss")
+    for name, g, r in zip(("x", "w1", "b1", "w2", "b2", "ln_s", "ln_b"),
+                          gp, gr):
+        _assert_close(g, r, f"grad {name}", atol=0.05)
+
+
+def test_residual_postnorm_kernels_interpreted(rng, interpret_tpu_route):
+    """fused_residual_postnorm fwd + bwd kernels."""
+    c, rows = 16, 64
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.bfloat16)
+    mkf = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    short, act = mk(rows, c), mk(rows, c)
+    ln_s, ln_b = 1.0 + mkf(c), mkf(c)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (rows, 1)), jnp.float32)
+
+    def f(fn):
+        def g(short, act, ln_s, ln_b):
+            return jnp.sum(fn(short, act, ln_s, ln_b, s)
+                           .astype(jnp.float32) ** 2)
+        return g
+
+    def ref(short, act, ln_s, ln_b, s):
+        return fep._res_xla(short, act, ln_s, ln_b, s)
+
+    args = (short, act, ln_s, ln_b)
+    vp, gp = jax.value_and_grad(
+        f(fep.fused_residual_postnorm), argnums=(0, 1, 2, 3))(*args)
+    vr, gr = jax.value_and_grad(f(ref), argnums=(0, 1, 2, 3))(*args)
+    _assert_close(vp, vr, "loss")
+    for name, g, r in zip(("shortcut", "act", "ln_s", "ln_b"), gp, gr):
+        _assert_close(g, r, f"grad {name}", atol=0.05)
