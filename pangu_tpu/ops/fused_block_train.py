@@ -322,8 +322,10 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int,
                 .astype(dx_ref.dtype).reshape(wz, wh, ww, c)
             )
 
-        ds1_ref[0, 0, 0] = ds1_val
-        ds2_ref[0, 0, 0] = ds2_val
+        # Mosaic requires VMEM output blocks tiled (8, 128); broadcast the
+        # scalar across one tile, the reducer reads element [..., 0, 0].
+        ds1_ref[0, 0, 0] = jnp.full((8, 128), ds1_val, jnp.float32)
+        ds2_ref[0, 0, 0] = jnp.full((8, 128), ds2_val, jnp.float32)
 
     return kernel
 
@@ -458,8 +460,9 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bproj, bias, mask,
 
     kernel = _make_bwd_kernel(window, w, c, heads, scale, mask is not None)
 
-    ds_spec = pl.BlockSpec((1, 1, 1), lambda zi, hi, bb: (zi, hi, bb),
-                           memory_space=pltpu.SMEM)
+    ds_spec = pl.BlockSpec((1, 1, 1, 8, 128),
+                           lambda zi, hi, bb: (zi, hi, bb, 0, 0),
+                           memory_space=pltpu.VMEM)
 
     def acc_spec(shp):
         return pl.BlockSpec(shp, lambda zi, hi, bb: (0,) * len(shp),
@@ -481,8 +484,8 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bproj, bias, mask,
         jax.ShapeDtypeStruct((1, c), f32),                 # db2
         jax.ShapeDtypeStruct((1, c), f32),                 # dln2_s
         jax.ShapeDtypeStruct((1, c), f32),                 # dln2_b
-        jax.ShapeDtypeStruct((zn, hn, b), f32),            # ds1 partials
-        jax.ShapeDtypeStruct((zn, hn, b), f32),            # ds2 partials
+        jax.ShapeDtypeStruct((zn, hn, b, 8, 128), f32),    # ds1 partials
+        jax.ShapeDtypeStruct((zn, hn, b, 8, 128), f32),    # ds2 partials
     )
     out_specs = (
         slab,
@@ -533,8 +536,10 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bproj, bias, mask,
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
             dln2s.reshape(ln2_s.shape).astype(ln2_s.dtype),
             dln2b.reshape(ln2_b.shape).astype(ln2_b.dtype),
-            jnp.sum(ds1, axis=(0, 1)).reshape(s1.shape).astype(s1.dtype),
-            jnp.sum(ds2, axis=(0, 1)).reshape(s2.shape).astype(s2.dtype))
+            jnp.sum(ds1[..., 0, 0], axis=(0, 1)).reshape(s1.shape)
+            .astype(s1.dtype),
+            jnp.sum(ds2[..., 0, 0], axis=(0, 1)).reshape(s2.shape)
+            .astype(s2.dtype))
 
 
 def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, ln1_s, ln1_b,
