@@ -50,9 +50,16 @@ from pangu_tpu.ops.fused_mlp import (
 
 _LN_EPS = 1e-5
 
-# A/B switch (scripts/bench_train_ab.py): False routes training back through
-# the unfused attention-kernel + epilogue + MLP-postnorm composition.
-_TRAIN_FUSION = True
+# A/B switch (scripts/bench_train_ab.py): True routes training through this
+# whole-block megakernel; False uses the unfused attention-kernel + epilogue
+# + MLP-postnorm composition. Default OFF: the on-device A/B (same process,
+# same v5e chip, scan-amortized full-geometry train step) measured the
+# megakernel at 1.854 s/step vs 0.723 s/step for the unfused chain — the
+# single giant fwd+bwd program defeats Mosaic's cross-kernel pipelining and
+# re-runs the attention forward inside the backward (no stacked-head
+# schedule there either). Kept as an opt-in for future re-tuning; see
+# docs/PERFORMANCE.md "Training block megakernel: REJECTED".
+_TRAIN_FUSION = False
 
 
 def _xla_block_train(x, wqkv, bqkv, wproj, bproj, bias, mask,

@@ -12,8 +12,9 @@ save_attn / save_attn_mlp (remat with attention / +MLP outputs saved),
 xla_epilogue (attention-side fused_residual_postnorm routed through XLA),
 unfused_tail (MLP-side fused_mlp_postnorm routed through raw fused_mlp +
 XLA epilogue), xla_tails (both postnorm fusions off — the pre-fusion
-round-3 state), unfused_block (block-train megakernel off: the separate
-attention + epilogue + MLP-postnorm kernels). Default: base unfused_block.
+round-3 state), fused_block (opt the rejected block-train megakernel back
+in), unfused_block (megakernel explicitly off — now identical to base).
+Default: base xla_mlp.
 """
 
 from __future__ import annotations
@@ -53,6 +54,11 @@ def run_variant(name: str) -> float:
     from pangu_tpu.ops import fused_block_train as fbt
     from pangu_tpu.ops import fused_mlp as fm
 
+    fbt_orig = fbt._TRAIN_FUSION
+    if name == "fused_block":
+        # opt the rejected block-train megakernel back in (default off since
+        # the A/B loss recorded in docs/PERFORMANCE.md)
+        fbt._TRAIN_FUSION = True
     if name in ("unfused_block", "xla_mlp", "unfused_tail", "xla_epilogue",
                 "xla_tails"):
         # every pre-megakernel variant needs the block-train fusion off,
@@ -90,7 +96,7 @@ def run_variant(name: str) -> float:
     try:
         value = bench.bench_train_step(cfg, model, aux, params, upper, surface)
     finally:
-        fbt._TRAIN_FUSION = True
+        fbt._TRAIN_FUSION = fbt_orig
         if name == "xla_mlp":
             fm._use_pallas_mlp = fm_orig
         if name == "unfused_tail":
@@ -108,7 +114,7 @@ def main() -> None:
     import bench
 
     bench._enable_compile_cache()
-    variants = sys.argv[1:] or ["base", "unfused_block"]
+    variants = sys.argv[1:] or ["base", "xla_mlp"]
     out = {}
     for name in variants:
         try:
