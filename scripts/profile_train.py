@@ -24,8 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def capture(out_dir: str, steps: int, save_attn: bool = False,
-            save_mlp: bool = False) -> None:
+def capture(out_dir: str, steps: int, save_attn: bool | None = None,
+            save_mlp: bool | None = None) -> None:
     import jax
 
     import bench
@@ -36,12 +36,17 @@ def capture(out_dir: str, steps: int, save_attn: bool = False,
     from pangu_tpu.train.trainer import init_train_state
 
     bench._enable_compile_cache()
-    cfg = pangu_pretrain(
+    kw = dict(
         horizon=24, compute_dtype="bfloat16", matmul_precision="default",
         use_pallas_attention=jax.default_backend() == "tpu",
-        remat_save_attention=save_attn,
-        remat_save_mlp=save_mlp,
     )
+    # None = keep the shipped config default (both save policies are ON by
+    # default; --save-attn=0/1 overrides explicitly)
+    if save_attn is not None:
+        kw["remat_save_attention"] = save_attn
+    if save_mlp is not None:
+        kw["remat_save_mlp"] = save_mlp
+    cfg = pangu_pretrain(**kw)
     m = cfg.model
     aux = synthetic_aux_constants(m, cfg.train)
     model = PanguModel(m)
@@ -136,15 +141,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--out", default="/tmp/pangu_prof")
-    p.add_argument("--save-attn", action="store_true",
-                   help="profile the remat_save_attention variant")
-    p.add_argument("--save-mlp", action="store_true",
-                   help="also save MLP outputs from remat")
+    p.add_argument("--save-attn", type=int, choices=(0, 1), default=None,
+                   help="force remat_save_attention (default: config default)")
+    p.add_argument("--save-mlp", type=int, choices=(0, 1), default=None,
+                   help="force remat_save_mlp (default: config default)")
     p.add_argument("--summarize-only", action="store_true")
     args = p.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.steps, save_attn=args.save_attn,
-                save_mlp=args.save_mlp)
+        capture(args.out, args.steps,
+                save_attn=None if args.save_attn is None else bool(args.save_attn),
+                save_mlp=None if args.save_mlp is None else bool(args.save_mlp))
     summarize(args.out, args.steps)
 
 

@@ -54,13 +54,17 @@ def test_wind_speed(rng):
 
 
 @requires_reference
-def test_rmse_acc_parity_with_reference(rng):
+def test_rmse_acc_parity_with_reference():
     import sys
 
     sys.path.insert(0, "/root/reference")
     import torch
     from era5_data import score
 
+    # OWN deterministic stream (not the shared session fixture): the data
+    # must not depend on how many earlier tests drew from the fixture, or
+    # adding a test elsewhere can shift this one onto a harder draw.
+    rng = np.random.default_rng(20260817)
     pred = rng.standard_normal((13, 181, 360)).astype(np.float32)
     tgt = rng.standard_normal((13, 181, 360)).astype(np.float32)
 
@@ -74,7 +78,10 @@ def test_rmse_acc_parity_with_reference(rng):
         torch.from_numpy(pred), torch.from_numpy(tgt)
     ).numpy()
     got_acc = np.asarray(metrics.weighted_acc_channels(pred, tgt))
-    np.testing.assert_allclose(got_acc, ref_acc, rtol=2e-5)
+    # ACC of uncorrelated random fields is ~0: fp32 summation-order noise is
+    # absolute, so a pure-relative tolerance is ill-posed here (observed
+    # ~1e-8 absolute differences failing rtol on ~1e-5 values).
+    np.testing.assert_allclose(got_acc, ref_acc, rtol=2e-5, atol=1e-7)
 
     mask = (rng.uniform(size=(181, 360)) > 0.4).astype(np.float32)
     ref_m = score.weighted_rmse_torch_channels(
