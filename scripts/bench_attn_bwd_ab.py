@@ -1,33 +1,41 @@
-"""A/B harness for the attention flash-backward kernel variants.
+"""On-device A/B of attention flash-backward kernel schedules.
 
-The round-3 profile puts the OUTER-stage attention backward at 23.1 ms/block
-(6.2 us/window) while the inner stage runs at its FLOP-expected cost
-(11.35 us/window at ~50 TFLOP/s); at inner-stage efficiency the outer
-backward would cost 3.3 us/window. The excess is per-window fixed cost —
-the prime suspects are the read-modify-write accumulator chains
-(dwqkv/dwproj/dbias `+=` per window serializes each window's dots against
-the previous window's accumulate). Variants:
+The round-3 profile shows the outer-stage attention backward at 3.8x its
+forward (22.7 vs 5.9 ms/block) where the FLOP ratio predicts ~2.9x, and
+both kernels sit well under the padding-adjusted roofline. Candidate
+causes are all in the backward's cross-window accumulation structure:
 
-  shipped — ops/fused_block_attention._backward_pallas as-is
-  valacc  — weight/bias grads accumulate in python-level VALUES across the
-            window loop; refs written once at the end (breaks the ref RMW
-            chain; Mosaic schedules the adds against the next window's dots)
-  pair    — two lon-windows per iteration: fat row-wise dots (qkv recompute,
-            dwqkv, dx) run at M=288 instead of 144 (56% -> 75% M-tile
-            utilization); score-path stays per-window
+  shipped     — ops/fused_block_attention.py::_backward_pallas verbatim:
+                per-window read-modify-write of the f32 weight-grad and
+                bias-grad output refs (serializes windows against each
+                other) + per-head strided (144, 32) stores into an f32
+                dqkv scratch.
+  local_accum — same dots, but dwqkv/dbqkv/dwproj/dbproj/dbias accumulate
+                in loop-carried values; each output ref is touched ONCE
+                per program.
+  fat_wgrad   — per-window dqkv and acc staged into slab-layout bf16
+                scratch; after the window loop the weight grads are ONE
+                deep (rows x C)^T @ (rows x 3C) dot per program instead of
+                30 shallow accumulations (dbias still deferred-local).
+  value_all   — local_accum plus NO per-head scratch stores at all:
+                per-head dq/dk/dv and acc are kept as values and
+                lane-concatenated into (t, 3c)/(t, c), so the narrow
+                32-lane strided writes disappear entirely.
 
-Timing: the full outer-stage backward pallas_call, chained via lax.scan
-(carry = dx feeds the next iteration's x so nothing is dead-code-eliminated
-and iterations serialize), paired-difference of two scan lengths — the same
-tunnel-robust methodology as bench.py.
+Timing: K-step lax.scan chains of the full outer-stage backward with the
+input perturbed by the previous dx (defeats CSE/hoisting of the pure
+pallas_call); paired long/short-grid difference with scalar fetch, median
+of reps — the same tunnel-robust methodology as bench.py / bench_mxu_micro.
+All large operands are jit ARGUMENTS, never closed-over constants (inlined
+literals blow the remote-compile request cap; see bench.py).
 
-Usage: python scripts/bench_attn_bwd_ab.py [--stage outer|inner]
+Usage: python scripts/bench_attn_bwd_ab.py [variant ...]
+       python scripts/bench_attn_bwd_ab.py --smoke   # CPU interpret parity
+Prints one JSON line per variant (ms per backward call) plus a summary.
 """
 
 from __future__ import annotations
 
-import argparse
-import functools
 import json
 import os
 import sys
@@ -35,273 +43,203 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+# outer-stage geometry (geometry.compute_geometry on the pretrained config)
+B, Z, HP, W, C = 1, 8, 186, 360, 192
+WINDOW = (2, 6, 12)
+HEADS = 6
+
+VARIANTS = ("shipped", "local_accum", "fat_wgrad", "value_all")
 
 
-def _make_bwd_kernel_variant(window, w, c, heads, scale, with_mask,
-                             variant: str):
-    wz, wh, ww = window
-    wn = w // ww
+def _scale() -> float:
+    return (C // HEADS) ** -0.5
+
+
+def _dot(a, b, ta=False, tb=False):
+    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _recompute_heads(xw, wqkv_ref, bqkv_ref, bias_ref, dacc, t, c, d, heads,
+                     scale):
+    """Shared recompute: qkv, stacked scores/softmax, per-head dv/acc, DS.
+
+    Returns (qkv, DS, dv_l, acc_l) with dv_l[h]/acc_l[h] (t, d) f32 values.
+    """
+    qkv = (_dot(xw, wqkv_ref[:])
+           + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
+    scores_l = []
+    for h in range(heads):
+        qh = qkv[:, h * d:(h + 1) * d]
+        kh = qkv[:, c + h * d:c + (h + 1) * d]
+        scores_l.append(_dot(qh, kh, tb=True) * scale + bias_ref[0, h])
+    S = jnp.concatenate(scores_l, axis=0)
+    m = jnp.max(S, axis=-1, keepdims=True)
+    p = jnp.exp(S - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pw = p.astype(xw.dtype)
+    dp_l, dv_l, acc_l = [], [], []
+    for h in range(heads):
+        vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        ph = pw[h * t:(h + 1) * t]
+        acc_l.append(_dot(ph, vh))
+        do = dacc[:, h * d:(h + 1) * d].astype(xw.dtype)
+        dp_l.append(_dot(do, vh, tb=True))
+        dv_l.append(_dot(ph, do, ta=True))
+    DP = jnp.concatenate(dp_l, axis=0)
+    DS = p * (DP - jnp.sum(DP * p, axis=-1, keepdims=True))
+    return qkv, DS, dv_l, acc_l
+
+
+def _make_variant_kernel(variant: str):
+    wz, wh, ww = WINDOW
+    wn = W // ww
     t = wz * wh * ww
-    d = c // heads
+    c = C
+    d = c // HEADS
+    heads = HEADS
+    scale = _scale()
+    local = variant in ("local_accum", "fat_wgrad", "value_all")
+    fat = variant == "fat_wgrad"
+    values = variant == "value_all"
 
-    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, *rest):
-        rest = list(rest)
-        mask_ref = rest.pop(0) if with_mask else None
-        (dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-         dbias_ref, acc_ref, dqkv_ref) = rest
-
+    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
+               dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+               dbias_ref, *scratch):
+        acc_ref = dqkv_ref = None
+        if not values:
+            acc_ref, dqkv_ref = scratch[:2]
+        if fat:
+            dqkv_slab_ref, acc_slab_ref = scratch[2:]
         zi, hi, bb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         first = (zi == 0) & (hi == 0) & (bb == 0)
 
-        if variant != "valacc":
-            @pl.when(first)
-            def _():
-                dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
-                dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
-                dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
-                dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+        @pl.when(first)
+        def _():
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
 
         @pl.when(bb == 0)
         def _():
             dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-        def dot(a, b, ta=False, tb=False):
-            dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
-            return jax.lax.dot_general(
-                a, b, dimension_numbers=dims,
-                preferred_element_type=jnp.float32,
-            )
+        a_dwqkv = jnp.zeros((c, 3 * c), jnp.float32) if local else None
+        a_dbqkv = jnp.zeros((1, 3 * c), jnp.float32) if local else None
+        a_dwproj = jnp.zeros((c, c), jnp.float32) if local else None
+        a_dbproj = jnp.zeros((1, c), jnp.float32) if local else None
+        a_dbias = (jnp.zeros((heads * t, t), jnp.float32) if local else None)
 
-        if variant == "valacc":
-            vacc = {
-                "dwqkv": jnp.zeros((c, 3 * c), jnp.float32),
-                "dbqkv": jnp.zeros((1, 3 * c), jnp.float32),
-                "dwproj": jnp.zeros((c, c), jnp.float32),
-                "dbproj": jnp.zeros((1, c), jnp.float32),
-            }
-            dbias_parts = [jnp.zeros((t, t), jnp.float32)
-                           for _ in range(heads)]
-
-        step = 2 if variant == "pair" else 1
-        for wi in range(0, wn, step):
-            if variant == "pair":
-                xw2 = x_ref[0, :, :, wi * ww:(wi + 2) * ww, :].reshape(
-                    wz * wh, 2 * ww, c)
-                gw2 = (g_ref[0, :, :, wi * ww:(wi + 2) * ww, :]
-                       .reshape(wz * wh, 2 * ww, c))
-                xwf = xw2.reshape(wz * wh * 2 * ww, c)
-                gwf = gw2.reshape(wz * wh * 2 * ww, c).astype(jnp.float32)
-                qkv2 = (dot(xwf, wqkv_ref[:])
-                        + bqkv_ref[:].astype(jnp.float32)).astype(xwf.dtype)
-                dbproj_ref[:] += jnp.sum(gwf, axis=0, keepdims=True)
-                dacc2 = dot(gwf.astype(xwf.dtype), wproj_ref[:], tb=True)
-                qkv3 = qkv2.reshape(wz * wh, 2 * ww, 3 * c)
-                dacc3 = dacc2.reshape(wz * wh, 2 * ww, c)
-                gw3 = gwf.reshape(wz * wh, 2 * ww, c)
-                dqkv_parts = []
-                for sub in range(2):
-                    qkv = qkv3[:, sub * ww:(sub + 1) * ww, :].reshape(t, 3 * c)
-                    dacc = dacc3[:, sub * ww:(sub + 1) * ww, :].reshape(t, c)
-                    gw = gw3[:, sub * ww:(sub + 1) * ww, :].reshape(t, c)
-                    dqkv_parts.append(_one_window(
-                        dot, qkv, dacc, gw, bias_ref, mask_ref, acc_ref,
-                        dbias_ref, dwproj_ref, heads, t, c, d, scale,
-                        with_mask, None))
-                dqkvf = jnp.concatenate(
-                    [p.reshape(wz * wh, ww, 3 * c) for p in dqkv_parts],
-                    axis=1).reshape(wz * wh * 2 * ww, 3 * c)
-                dbqkv_ref[:] += jnp.sum(dqkvf, axis=0, keepdims=True)
-                dqkvw = dqkvf.astype(xwf.dtype)
-                dwqkv_ref[:] += dot(xwf, dqkvw, ta=True)
-                dx_ref[0, :, :, wi * ww:(wi + 2) * ww, :] = (
-                    dot(dqkvw, wqkv_ref[:], tb=True)
-                    .astype(dx_ref.dtype).reshape(wz, wh, 2 * ww, c)
-                )
-                continue
-
+        for wi in range(wn):
             xw = x_ref[0, :, :, wi * ww:(wi + 1) * ww, :].reshape(t, c)
             gw = (g_ref[0, :, :, wi * ww:(wi + 1) * ww, :]
                   .reshape(t, c).astype(jnp.float32))
-
-            qkv = (dot(xw, wqkv_ref[:])
-                   + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
-
-            if variant == "valacc":
-                vacc["dbproj"] = vacc["dbproj"] + jnp.sum(
-                    gw, axis=0, keepdims=True)
+            if local:
+                a_dbproj += jnp.sum(gw, axis=0, keepdims=True)
             else:
                 dbproj_ref[:] += jnp.sum(gw, axis=0, keepdims=True)
-            dacc = dot(gw.astype(xw.dtype), wproj_ref[:], tb=True)
-
-            scores_l = []
-            for h in range(heads):
-                qh = qkv[:, h * d:(h + 1) * d]
-                kh = qkv[:, c + h * d:c + (h + 1) * d]
-                s = dot(qh, kh, tb=True) * scale + bias_ref[0, h]
-                if with_mask:
-                    s = s + mask_ref[0]
-                scores_l.append(s)
-            S = jnp.concatenate(scores_l, axis=0)
-            m = jnp.max(S, axis=-1, keepdims=True)
-            p = jnp.exp(S - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            pw = p.astype(xw.dtype)
-
-            dp_l = []
-            for h in range(heads):
-                vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-                ph = pw[h * t:(h + 1) * t]
-                acc_ref[:, h * d:(h + 1) * d] = dot(ph, vh).astype(acc_ref.dtype)
-                do = dacc[:, h * d:(h + 1) * d].astype(xw.dtype)
-                dp_l.append(dot(do, vh, tb=True))
-                dqkv_ref[:, 2 * c + h * d:2 * c + (h + 1) * d] = (
-                    dot(ph, do, ta=True)
-                )
-            DP = jnp.concatenate(dp_l, axis=0)
-            DS = p * (DP - jnp.sum(DP * p, axis=-1, keepdims=True))
+            dacc = _dot(gw.astype(xw.dtype), wproj_ref[:], tb=True)
+            qkv, DS, dv_l, acc_l = _recompute_heads(
+                xw, wqkv_ref, bqkv_ref, bias_ref, dacc, t, c, d, heads,
+                scale)
             DSw = DS.astype(xw.dtype)
+            if local:
+                a_dbias += DS
+            else:
+                for h in range(heads):
+                    dbias_ref[0, h] += DS[h * t:(h + 1) * t]
+            dq_l, dk_l = [], []
             for h in range(heads):
                 qh = qkv[:, h * d:(h + 1) * d]
                 kh = qkv[:, c + h * d:c + (h + 1) * d]
-                if variant == "valacc":
-                    dbias_parts[h] = dbias_parts[h] + DS[h * t:(h + 1) * t]
-                else:
-                    dbias_ref[0, h] += DS[h * t:(h + 1) * t]
                 dsw = DSw[h * t:(h + 1) * t]
-                dqkv_ref[:, h * d:(h + 1) * d] = dot(dsw, kh) * scale
-                dqkv_ref[:, c + h * d:c + (h + 1) * d] = (
-                    dot(dsw, qh, ta=True) * scale
-                )
-
-            if variant == "valacc":
-                vacc["dwproj"] = vacc["dwproj"] + dot(
-                    acc_ref[:], gw.astype(xw.dtype), ta=True)
+                dq_l.append(_dot(dsw, kh) * scale)
+                dk_l.append(_dot(dsw, qh, ta=True) * scale)
+            if values:
+                dqkv = jnp.concatenate(dq_l + dk_l + dv_l, axis=1)
+                acc = jnp.concatenate(acc_l, axis=1).astype(xw.dtype)
             else:
-                dwproj_ref[:] += dot(acc_ref[:], gw.astype(xw.dtype), ta=True)
-            dqkv = dqkv_ref[:]
+                for h in range(heads):
+                    acc_ref[:, h * d:(h + 1) * d] = (
+                        acc_l[h].astype(acc_ref.dtype))
+                    dqkv_ref[:, h * d:(h + 1) * d] = dq_l[h]
+                    dqkv_ref[:, c + h * d:c + (h + 1) * d] = dk_l[h]
+                    dqkv_ref[:, 2 * c + h * d:2 * c + (h + 1) * d] = dv_l[h]
+                dqkv = dqkv_ref[:]
+                acc = acc_ref[:]
             dqkvw = dqkv.astype(xw.dtype)
-            if variant == "valacc":
-                vacc["dbqkv"] = vacc["dbqkv"] + jnp.sum(
-                    dqkv, axis=0, keepdims=True)
-                vacc["dwqkv"] = vacc["dwqkv"] + dot(xw, dqkvw, ta=True)
+            if fat:
+                dqkv_slab_ref[:, :, wi * ww:(wi + 1) * ww, :] = (
+                    dqkvw.reshape(wz, wh, ww, 3 * c))
+                acc_slab_ref[:, :, wi * ww:(wi + 1) * ww, :] = (
+                    acc.reshape(wz, wh, ww, c))
+                a_dbqkv += jnp.sum(dqkv, axis=0, keepdims=True)
+            elif local:
+                a_dwproj += _dot(acc, gw.astype(xw.dtype), ta=True)
+                a_dbqkv += jnp.sum(dqkv, axis=0, keepdims=True)
+                a_dwqkv += _dot(xw, dqkvw, ta=True)
             else:
+                dwproj_ref[:] += _dot(acc, gw.astype(xw.dtype), ta=True)
                 dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
-                dwqkv_ref[:] += dot(xw, dqkvw, ta=True)
+                dwqkv_ref[:] += _dot(xw, dqkvw, ta=True)
             dx_ref[0, :, :, wi * ww:(wi + 1) * ww, :] = (
-                dot(dqkvw, wqkv_ref[:], tb=True)
-                .astype(dx_ref.dtype).reshape(wz, wh, ww, c)
-            )
+                _dot(dqkvw, wqkv_ref[:], tb=True)
+                .astype(dx_ref.dtype).reshape(wz, wh, ww, c))
 
-        if variant == "valacc":
-            for h in range(heads):
-                dbias_ref[0, h] += dbias_parts[h]
-
-            @pl.when(first)
-            def _():
-                dwqkv_ref[:] = vacc["dwqkv"]
-                dbqkv_ref[:] = vacc["dbqkv"]
-                dwproj_ref[:] = vacc["dwproj"]
-                dbproj_ref[:] = vacc["dbproj"]
-
-            @pl.when(~first)
-            def _():
-                dwqkv_ref[:] += vacc["dwqkv"]
-                dbqkv_ref[:] += vacc["dbqkv"]
-                dwproj_ref[:] += vacc["dwproj"]
-                dbproj_ref[:] += vacc["dbproj"]
+        if fat:
+            # ONE deep dot per program: rows = wz*wh*W
+            xs = x_ref[0].reshape(wz * wh * W, c)
+            dq = dqkv_slab_ref[:].reshape(wz * wh * W, 3 * c)
+            dwqkv_ref[:] += _dot(xs, dq, ta=True)
+            ac = acc_slab_ref[:].reshape(wz * wh * W, c)
+            gs = g_ref[0].reshape(wz * wh * W, c)
+            dwproj_ref[:] += _dot(ac, gs, ta=True)
+        if local:
+            dbias_ref[0] += a_dbias.reshape(heads, t, t)
+            dbqkv_ref[:] += a_dbqkv
+            dbproj_ref[:] += a_dbproj
+            if not fat:
+                dwqkv_ref[:] += a_dwqkv
+                dwproj_ref[:] += a_dwproj
 
     return kernel
 
 
-def _one_window(dot, qkv, dacc, gw, bias_ref, mask_ref, acc_ref, dbias_ref,
-                dwproj_ref, heads, t, c, d, scale, with_mask, _unused):
-    """pair-variant per-window score path; returns the window's dqkv value."""
-    dbproj_done = False  # handled by caller on the fat path
-    del dbproj_done
-    scores_l = []
-    for h in range(heads):
-        qh = qkv[:, h * d:(h + 1) * d]
-        kh = qkv[:, c + h * d:c + (h + 1) * d]
-        s = dot(qh, kh, tb=True) * scale + bias_ref[0, h]
-        if with_mask:
-            s = s + mask_ref[0]
-        scores_l.append(s)
-    S = jnp.concatenate(scores_l, axis=0)
-    m = jnp.max(S, axis=-1, keepdims=True)
-    p = jnp.exp(S - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    pw = p.astype(qkv.dtype)
-
-    dv_l, dp_l = [], []
-    for h in range(heads):
-        vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-        ph = pw[h * t:(h + 1) * t]
-        acc_ref[:, h * d:(h + 1) * d] = dot(ph, vh).astype(acc_ref.dtype)
-        do = dacc[:, h * d:(h + 1) * d].astype(qkv.dtype)
-        dp_l.append(dot(do, vh, tb=True))
-        dv_l.append(dot(ph, do, ta=True))
-    DP = jnp.concatenate(dp_l, axis=0)
-    DS = p * (DP - jnp.sum(DP * p, axis=-1, keepdims=True))
-    DSw = DS.astype(qkv.dtype)
-    dq_l, dk_l = [], []
-    for h in range(heads):
-        qh = qkv[:, h * d:(h + 1) * d]
-        kh = qkv[:, c + h * d:c + (h + 1) * d]
-        dbias_ref[0, h] += DS[h * t:(h + 1) * t]
-        dsw = DSw[h * t:(h + 1) * t]
-        dq_l.append(dot(dsw, kh) * scale)
-        dk_l.append(dot(dsw, qh, ta=True) * scale)
-    dwproj_ref[:] += dot(acc_ref[:], gw.astype(qkv.dtype), ta=True)
-    return jnp.concatenate(dq_l + dk_l + dv_l, axis=1)
-
-
-def build_backward(x, wqkv, bqkv, wproj, bias, mask, g, window, heads, scale,
-                   variant):
-    from pangu_tpu.ops import fused_block_attention as fba
-
-    if variant == "shipped":
-        return fba._backward_pallas(x, wqkv, bqkv, wproj, bias, mask, g,
-                                    window, heads, scale)
-
-    b, z, hp, w, c = x.shape
-    wz, wh, ww = window
-    zn, hn = z // wz, hp // wh
+def _variant_call(variant: str):
+    """Build a backward-shaped pallas_call for the outer stage, mask-free."""
+    wz, wh, ww = WINDOW
+    zn, hn = Z // wz, HP // wh
     t = wz * wh * ww
-    grid = (zn, hn, b)
+    c = C
+    grid = (zn, hn, B)
 
-    def const_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda zi, hi, bb: (0,) * arr.ndim,
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda zi, hi, bb: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    slab = pl.BlockSpec((1, wz, wh, w, c),
+    slab = pl.BlockSpec((1, wz, wh, W, c),
                         lambda zi, hi, bb: (bb, zi, hi, 0, 0),
                         memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, heads, t, t),
+    bias_spec = pl.BlockSpec((1, HEADS, t, t),
                              lambda zi, hi, bb: (zi * hn + hi, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [slab, slab, const_spec(wqkv), const_spec(bqkv),
-                const_spec(wproj), bias_spec]
-    args = [x, g, wqkv, bqkv, wproj, bias]
-    if mask is not None:
-        in_specs.append(pl.BlockSpec((1, t, t),
-                                     lambda zi, hi, bb: (zi * hn + hi, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(mask)
-
-    kernel = _make_bwd_kernel_variant(window, w, c, heads, scale,
-                                      mask is not None, variant)
+    in_specs = [slab, slab, const_spec((c, 3 * c)), const_spec((1, 3 * c)),
+                const_spec((c, c)), bias_spec]
     out_shapes = (
-        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((B, Z, HP, W, c), jnp.bfloat16),
         jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
         jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
         jax.ShapeDtypeStruct((c, c), jnp.float32),
         jax.ShapeDtypeStruct((1, c), jnp.float32),
-        jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        jax.ShapeDtypeStruct((zn * hn, HEADS, t, t), jnp.float32),
     )
     out_specs = (
         slab,
@@ -315,104 +253,168 @@ def build_backward(x, wqkv, bqkv, wproj, bias, mask, g, window, heads, scale,
                      memory_space=pltpu.VMEM),
         bias_spec,
     )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((t, c), x.dtype),
+    scratch = []
+    if variant != "value_all":
+        scratch += [
+            pltpu.VMEM((t, c), jnp.bfloat16),
             pltpu.VMEM((t, 3 * c), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(*args)
+        ]
+    if variant == "fat_wgrad":
+        scratch += [
+            pltpu.VMEM((wz, wh, W, 3 * c), jnp.bfloat16),
+            pltpu.VMEM((wz, wh, W, c), jnp.bfloat16),
+        ]
+    kernel = _make_variant_kernel(variant)
+
+    def call(x, g, wqkv, bqkv, wproj, bias):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, g, wqkv, bqkv, wproj, bias)
+
+    return call
 
 
-def make_inputs(stage: str):
-    rng = np.random.default_rng(0)
-    if stage == "outer":
-        z, hp, w, c, heads = 8, 186, 360, 192, 6
-    else:
-        z, hp, w, c, heads = 8, 96, 180, 384, 12
-    window = (2, 6, 12)
-    t = 144
-    zn, hn = z // 2, hp // 6
-    nt = zn * hn
-    x = jnp.asarray(rng.standard_normal((1, z, hp, w, c)) * 0.1, jnp.bfloat16)
-    g = jnp.asarray(rng.standard_normal((1, z, hp, w, c)) * 0.1, jnp.bfloat16)
-    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.02, jnp.bfloat16)
-    bqkv = jnp.asarray(rng.standard_normal((1, 3 * c)) * 0.02, jnp.bfloat16)
-    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.02, jnp.bfloat16)
-    bias = jnp.asarray(rng.standard_normal((nt, heads, t, t)) * 0.02,
-                       jnp.float32)
-    scale = (c // heads) ** -0.5
-    return x, wqkv, bqkv, wproj, bias, None, g, window, heads, scale
+def _shipped_call():
+    from pangu_tpu.ops.fused_block_attention import _backward_pallas
+
+    def call(x, g, wqkv, bqkv, wproj, bias):
+        return _backward_pallas(x, g=g, wqkv=wqkv, bqkv=bqkv, wproj=wproj,
+                                bias=bias, mask=None, window=WINDOW,
+                                heads=HEADS, scale=_scale())
+
+    return call
 
 
-def bench_variant(variant: str, stage: str, check_against=None):
-    x, wqkv, bqkv, wproj, bias, mask, g, window, heads, scale = \
-        make_inputs(stage)
+def check_parity(variant: str, args) -> float:
+    """max(|dx diff|, rel |dwqkv diff|) of the variant vs the shipped kernel."""
+    ship = _shipped_call()
+    var = _variant_call(variant)
+    ref = jax.jit(ship)(*args)
+    got = jax.jit(var)(*args)
+    # shipped returns (dx, dwqkv-as-param-dtype, ...); variants return raw
+    dxr = np.asarray(ref[0], np.float32)
+    dxv = np.asarray(got[0], np.float32)
+    dwr = np.asarray(ref[1], np.float32)
+    dwv = np.asarray(got[1], np.float32)
+    scale = max(np.abs(dwr).max(), 1e-6)
+    return float(max(np.abs(dxr - dxv).max(),
+                     np.abs(dwr - dwv).max() / scale))
 
-    fn = functools.partial(build_backward, wqkv=wqkv, bqkv=bqkv, wproj=wproj,
-                           bias=bias, mask=mask, window=window, heads=heads,
-                           scale=scale, variant=variant)
 
-    outs = jax.jit(lambda x, g: fn(x, g=g))(x, g)
-    outs = jax.tree.map(np.asarray, outs)
-    if check_against is not None:
-        ref = check_against
-        names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
-        for n, a, b in zip(names, outs, ref):
-            a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
-            denom = np.maximum(np.abs(b32).max(), 1e-6)
-            rel = np.abs(a32 - b32).max() / denom
-            assert rel < 2e-2, (variant, n, rel)
+def timeit(call, args, k_short=3, k_long=13, reps=5) -> float:
+    """ms per backward call, scan-chained with an input perturbation that
+    defeats CSE (x_{i+1} = x + eps*dx_i). All operands are jit ARGUMENTS."""
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
-    def chain(x, g, steps):
-        def body(carry, _):
-            outs = fn(carry, g=g)
-            return outs[0], jnp.float32(0)
+    def chain(k):
+        @jax.jit
+        def run(x, rest):
+            def body(xc, _):
+                outs = call(xc, *rest)
+                dx = outs[0]
+                x2 = (xc + jnp.bfloat16(1e-6) * dx).astype(xc.dtype)
+                return x2, jnp.sum(outs[1])
 
-        y, _ = jax.lax.scan(body, x, length=steps)
-        return jnp.sum(y[:, 0, 0, ::100, ::100].astype(jnp.float32))
+            xf, partials = jax.lax.scan(body, x, None, length=k)
+            return jnp.sum(partials) + jnp.sum(xf[0, 0, 0, 0, :8])
 
-    k_short, k_long = 2, 10
-    float(chain(x, g, k_short))
-    float(chain(x, g, k_long))
+        return run
 
-    def once(k):
+    rest = tuple(args[1:])
+    f_s, f_l = chain(k_short), chain(k_long)
+    float(f_s(args[0], rest))  # compile + warm
+    float(f_l(args[0], rest))
+
+    def once(f):
         t0 = time.perf_counter()
-        float(chain(x, g, k))
+        float(f(args[0], rest))
         return time.perf_counter() - t0
 
-    diffs = sorted((once(k_long) - once(k_short)) / (k_long - k_short)
-                   for _ in range(5))
-    return diffs[len(diffs) // 2], outs
+    diffs = sorted(once(f_l) - once(f_s) for _ in range(reps))
+    return diffs[len(diffs) // 2] / (k_long - k_short) * 1e3
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--stage", default="outer", choices=["outer", "inner"])
-    p.add_argument("--variants", default="shipped,valacc,pair")
-    args = p.parse_args()
+def _make_args(rng):
+    wz, wh, ww = WINDOW
+    t = wz * wh * ww
+    zn, hn = Z // wz, HP // wh
+    return (
+        jnp.asarray(rng.standard_normal((B, Z, HP, W, C)) * 0.1,
+                    jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((B, Z, HP, W, C)) * 0.1,
+                    jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((1, 3 * C)) * 0.05, jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((zn * hn, HEADS, t, t)) * 0.01,
+                    jnp.float32),
+    )
 
+
+def smoke() -> None:
+    """CPU interpret-mode parity of every variant at a shrunken geometry
+    (t stays 144 — fixed by the reference window — but one lat/lon slab),
+    so schedule bugs are caught before any on-device minutes are spent."""
+    global B, Z, HP, W, C, HEADS
+    B, Z, HP, W, C, HEADS = 1, 2, 6, 24, 32, 2
+
+    real_call = pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        kw.pop("cost_estimate", None)
+        return real_call(*a, **kw)
+
+    pl.pallas_call = interp_call
+    rng = np.random.default_rng(0)
+    args = _make_args(rng)
+    failures = 0
+    for v in VARIANTS[1:]:
+        pd = check_parity(v, args)
+        ok = pd <= 0.05
+        failures += not ok
+        print(json.dumps({f"{v}_smoke_parity_maxdiff": round(pd, 6),
+                          "ok": ok}), flush=True)
+    pl.pallas_call = real_call
+    sys.exit(1 if failures else 0)
+
+
+def main() -> None:
+    if "--smoke" in sys.argv:
+        smoke()
+        return
     import bench
-    bench._enable_compile_cache()
 
-    results = {}
-    ref = None
-    for v in args.variants.split(","):
-        tsec, outs = bench_variant(v, args.stage, check_against=ref)
-        if v == "shipped":
-            ref = outs
-        results[f"{v}_ms"] = round(tsec * 1e3, 2)
-        print(json.dumps({"stage": args.stage, **results,
-                          "device_kind": jax.devices()[0].device_kind}),
-              flush=True)
+    bench._enable_compile_cache()
+    variants = sys.argv[1:] or list(VARIANTS)
+    rng = np.random.default_rng(0)
+    args = _make_args(rng)
+    out = {}
+    for v in variants:
+        try:
+            if v != "shipped":
+                pd = check_parity(v, args)
+                print(json.dumps({f"{v}_parity_maxdiff": round(pd, 6)}),
+                      flush=True)
+                if pd > 0.05:
+                    out[v] = f"parity FAIL ({pd:.4f})"
+                    print(json.dumps({v: out[v]}), flush=True)
+                    continue
+            call = _shipped_call() if v == "shipped" else _variant_call(v)
+            out[v] = round(timeit(call, args), 3)
+        except Exception as e:
+            out[v] = f"error: {e}"[:200]
+        print(json.dumps({v: out[v]}), flush=True)
+    print(json.dumps({"attn_bwd_ab_ms": out,
+                      "device_kind": jax.devices()[0].device_kind}),
+          flush=True)
 
 
 if __name__ == "__main__":
