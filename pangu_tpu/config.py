@@ -83,6 +83,14 @@ class ModelConfig:
     # another ~2.1 GB at flagship batch 1; 774.9 -> 706.6 device-ms/step on
     # v5e, docs/PERFORMANCE.md). Ignored when remat is off.
     remat_save_mlp: bool = True
+    # Differentiate with respect to a bfloat16-cast copy of the parameters
+    # ("bfloat16") instead of the float32 masters ("float32"). The backward
+    # then never emits the per-use-site bf16->f32 convert+reduce of each
+    # parameter cotangent; the f32 master params and f32 Adam moments are
+    # untouched (grads are cast up ONCE before the optimizer), so this is
+    # the standard mixed-precision recipe, not bf16 training. Only
+    # meaningful when compute_dtype is bfloat16.
+    grads_dtype: str = "float32"
     # Rematerialize each transformer block during training
     # (reference models/layers.py:143-149 uses torch.utils.checkpoint).
     remat: bool = True

@@ -86,13 +86,26 @@ def make_train_step(
     microbatch axis of that length; gradients are averaged across it.
     """
     accum = cfg.train.accumulation_steps
+    bf16_grads = cfg.model.grads_dtype == "bfloat16"
 
     def single_grads(params, batch, aux, rng):
         r_path, r_drop = jax.random.split(rng)
         rngs = {"droppath": r_path, "dropout": r_drop}
-        return jax.value_and_grad(
+        vg = jax.value_and_grad(
             lambda p: loss_fn(model, p, batch, aux, cfg, rngs, deterministic=False)
-        )(params)
+        )
+        if not bf16_grads:
+            return vg(params)
+        # Mixed-precision grad tree (cfg.model.grads_dtype): differentiate
+        # w.r.t. a bf16-cast parameter copy — the backward's per-use-site
+        # bf16->f32 cotangent convert+reduce disappears — then cast the
+        # grads up ONCE so the f32 masters/moments below are unchanged.
+        half = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params,
+        )
+        loss, g = vg(half)
+        return loss, jax.tree.map(lambda gl, p: gl.astype(p.dtype), g, params)
 
     def step(state: TrainState, batch: Batch, aux: AuxConstants, rng) -> Tuple[TrainState, jnp.ndarray]:
         if accum > 1:

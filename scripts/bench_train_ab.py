@@ -13,7 +13,9 @@ xla_epilogue (attention-side fused_residual_postnorm routed through XLA),
 unfused_tail (MLP-side fused_mlp_postnorm routed through raw fused_mlp +
 XLA epilogue), xla_tails (both postnorm fusions off — the pre-fusion
 round-3 state), fused_block (opt the rejected block-train megakernel back
-in), unfused_block (megakernel explicitly off — now identical to base).
+in), unfused_block (megakernel explicitly off — now identical to base),
+bf16_grads (mixed-precision grad tree: differentiate w.r.t. a bf16 param
+copy, f32 masters and Adam moments unchanged).
 Default: base xla_mlp.
 """
 
@@ -49,6 +51,10 @@ def run_variant(name: str) -> float:
     if name == "save_attn_mlp":
         kw["remat_save_attention"] = True
         kw["remat_save_mlp"] = True
+    if name == "bf16_grads":
+        # mixed-precision grad tree: differentiate w.r.t. a bf16 param copy,
+        # f32 masters/moments unchanged (config.py grads_dtype)
+        kw["grads_dtype"] = "bfloat16"
     cfg = pangu_pretrain(**kw)
 
     from pangu_tpu.ops import fused_block_train as fbt

@@ -272,3 +272,57 @@ def test_remat_policy_identity(setup):
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5,
                                                     atol=1e-6),
             ref_grads, grads)
+
+
+def test_bf16_grad_tree_matches_f32_masters(setup):
+    """grads_dtype="bfloat16" (differentiate w.r.t. a bf16-cast param copy,
+    cast grads up once) must keep f32 param/optimizer dtypes, stay close to
+    the f32-tree gradients at bf16 tolerance, and still train."""
+    import dataclasses
+
+    cfg0, _, aux = setup
+    loader = make_loader(cfg0.data, cfg0.model, "train", cfg0.horizon,
+                         batch_size=1)
+    batch, _ = next(iter(loader))
+
+    def build(grads_dtype):
+        cfg = cfg0.replace(model=dataclasses.replace(
+            cfg0.model, compute_dtype="bfloat16", grads_dtype=grads_dtype))
+        model = PanguModel(cfg.model)
+        opt = make_optimizer(cfg)
+        state = init_train_state(model, cfg, aux, opt)
+        return cfg, model, opt, state
+
+    cfg_f, model_f, opt_f, state_f = build("float32")
+    cfg_h, model_h, opt_h, state_h = build("bfloat16")
+    # identical initialization (same seed, same structure)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 state_f.params, state_h.params)
+
+    rng = jax.random.PRNGKey(7)
+    step_f = jax.jit(make_train_step(model_f, cfg_f, opt_f))
+    step_h = jax.jit(make_train_step(model_h, cfg_h, opt_h))
+    new_f, loss_f = step_f(state_f, batch, aux, rng)
+    new_h, loss_h = step_h(state_h, batch, aux, rng)
+
+    # bf16 mantissa is 8 bits: the two losses and updated params agree to
+    # bf16 tolerance, and every updated leaf keeps its f32 master dtype
+    assert abs(float(loss_f) - float(loss_h)) <= 2e-2 * max(
+        1.0, abs(float(loss_f)))
+    jax.tree.map(lambda leaf: leaf.dtype, new_h.params)
+    for leaf in jax.tree.leaves(new_h.params):
+        assert leaf.dtype == jnp.float32
+    for a, b in zip(jax.tree.leaves(new_f.params),
+                    jax.tree.leaves(new_h.params)):
+        scale = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) / scale < 0.1
+
+    # and it still trains: several steps strictly reduce the loss
+    losses = [float(loss_h)]
+    state = new_h
+    for i in range(5):
+        rng, r = jax.random.split(rng)
+        state, loss = step_h(state, batch, aux, r)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
