@@ -21,6 +21,15 @@ causes are all in the backward's cross-window accumulation structure:
                 per-head dq/dk/dv and acc are kept as values and
                 lane-concatenated into (t, 3c)/(t, c), so the narrow
                 32-lane strided writes disappear entirely.
+  pair/tri    — value_all processing 2/3 lon-windows per iteration: the
+                row-wise dots (qkv recompute, dacc, dwqkv, dx, dwproj) run
+                at M = 288/432 instead of 144 (M-tile util 56% -> 75%/84%
+                on the 128-row MXU) and the per-window fixed cost halves/
+                thirds; the (t, t) score path stays per-window. (nw=4 is
+                impossible: wn = 30 lon-windows per program.)
+  pair_fat/tri_fat — pair/tri with the weight grads additionally staged
+                into program-wide slabs and computed as ONE depth-4320 dot
+                (the fat_wgrad schedule, the round's first measured win).
 
 Timing: K-step lax.scan chains of the full outer-stage backward with the
 input perturbed by the previous dx (defeats CSE/hoisting of the pure
@@ -54,7 +63,9 @@ B, Z, HP, W, C = 1, 8, 186, 360, 192
 WINDOW = (2, 6, 12)
 HEADS = 6
 
-VARIANTS = ("shipped", "local_accum", "fat_wgrad", "value_all")
+VARIANTS = ("shipped", "local_accum", "fat_wgrad", "value_all",
+            "pair", "tri", "pair_fat", "tri_fat")
+_NW = {"pair": 2, "tri": 3, "pair_fat": 2, "tri_fat": 3}
 
 
 def _scale() -> float:
@@ -106,9 +117,10 @@ def _make_variant_kernel(variant: str):
     d = c // HEADS
     heads = HEADS
     scale = _scale()
-    local = variant in ("local_accum", "fat_wgrad", "value_all")
-    fat = variant == "fat_wgrad"
-    values = variant == "value_all"
+    nw = _NW.get(variant, 1)
+    local = variant != "shipped"
+    fat = variant in ("fat_wgrad", "pair_fat", "tri_fat")
+    values = variant in ("value_all",) or nw > 1
 
     def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
@@ -210,6 +222,134 @@ def _make_variant_kernel(variant: str):
                 dwqkv_ref[:] += a_dwqkv
                 dwproj_ref[:] += a_dwproj
 
+    if nw > 1:
+        return _make_multi_kernel(variant, nw, fat)
+    return kernel
+
+
+def _make_multi_kernel(variant: str, nw: int, fat: bool):
+    """pair/tri(_fat): nw lon-windows per iteration. Row-wise dots run at
+    M = nw*t; the (t, t) score path stays per-window on slices of the fat
+    qkv/dacc. Always values-based with local accumulators."""
+    wz, wh, ww = WINDOW
+    wn = W // ww
+    t = wz * wh * ww
+    c = C
+    d = c // HEADS
+    heads = HEADS
+    scale = _scale()
+    wwn = ww * nw
+    tn = t * nw
+
+    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
+               dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+               dbias_ref, *scratch):
+        if fat:
+            dqkv_slab_ref, acc_slab_ref = scratch
+        zi, hi, bb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        first = (zi == 0) & (hi == 0) & (bb == 0)
+
+        @pl.when(first)
+        def _():
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+        @pl.when(bb == 0)
+        def _():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        a_dwqkv = jnp.zeros((c, 3 * c), jnp.float32)
+        a_dbqkv = jnp.zeros((1, 3 * c), jnp.float32)
+        a_dwproj = jnp.zeros((c, c), jnp.float32)
+        a_dbproj = jnp.zeros((1, c), jnp.float32)
+        a_dbias = jnp.zeros((heads * t, t), jnp.float32)
+
+        for wi in range(wn // nw):
+            lon0 = wi * wwn
+            xw = x_ref[0, :, :, lon0:lon0 + wwn, :].reshape(tn, c)
+            gw = (g_ref[0, :, :, lon0:lon0 + wwn, :]
+                  .reshape(tn, c).astype(jnp.float32))
+            a_dbproj += jnp.sum(gw, axis=0, keepdims=True)
+            gww = gw.astype(xw.dtype)
+            # fat row-wise dots: M = nw*t
+            dacc_f = _dot(gww, wproj_ref[:], tb=True)            # (tn, c)
+            qkv_f = (_dot(xw, wqkv_ref[:])
+                     + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
+            # lon index = j*ww + k within the slice, so (wwn) -> (nw, ww)
+            # splits windows j-major
+            qkv_r = qkv_f.reshape(wz, wh, nw, ww, 3 * c)
+            dacc_r = dacc_f.reshape(wz, wh, nw, ww, c)
+            dqkv_js, acc_js = [], []
+            for j in range(nw):
+                qkv_j = qkv_r[:, :, j].reshape(t, 3 * c)
+                dacc_j = dacc_r[:, :, j].reshape(t, c)
+                scores_l = []
+                for h in range(heads):
+                    qh = qkv_j[:, h * d:(h + 1) * d]
+                    kh = qkv_j[:, c + h * d:c + (h + 1) * d]
+                    scores_l.append(_dot(qh, kh, tb=True) * scale
+                                    + bias_ref[0, h])
+                S = jnp.concatenate(scores_l, axis=0)
+                m = jnp.max(S, axis=-1, keepdims=True)
+                p = jnp.exp(S - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                pw = p.astype(xw.dtype)
+                dp_l, dv_l, acc_l = [], [], []
+                for h in range(heads):
+                    vh = qkv_j[:, 2 * c + h * d:2 * c + (h + 1) * d]
+                    ph = pw[h * t:(h + 1) * t]
+                    acc_l.append(_dot(ph, vh).astype(xw.dtype))
+                    do = dacc_j[:, h * d:(h + 1) * d].astype(xw.dtype)
+                    dp_l.append(_dot(do, vh, tb=True))
+                    dv_l.append(_dot(ph, do, ta=True))
+                DP = jnp.concatenate(dp_l, axis=0)
+                DS = p * (DP - jnp.sum(DP * p, axis=-1, keepdims=True))
+                a_dbias += DS
+                DSw = DS.astype(xw.dtype)
+                dq_l, dk_l = [], []
+                for h in range(heads):
+                    qh = qkv_j[:, h * d:(h + 1) * d]
+                    kh = qkv_j[:, c + h * d:c + (h + 1) * d]
+                    dsw = DSw[h * t:(h + 1) * t]
+                    dq_l.append(_dot(dsw, kh) * scale)
+                    dk_l.append(_dot(dsw, qh, ta=True) * scale)
+                dqkv_j = jnp.concatenate(dq_l + dk_l + dv_l, axis=1)
+                dqkv_js.append(dqkv_j.reshape(wz, wh, 1, ww, 3 * c))
+                acc_js.append(jnp.concatenate(acc_l, axis=1)
+                              .reshape(wz, wh, 1, ww, c))
+            dqkv_f = jnp.concatenate(dqkv_js, axis=2).reshape(tn, 3 * c)
+            acc_f = jnp.concatenate(acc_js, axis=2).reshape(tn, c)
+            dqkvw = dqkv_f.astype(xw.dtype)
+            if fat:
+                dqkv_slab_ref[:, :, lon0:lon0 + wwn, :] = (
+                    dqkvw.reshape(wz, wh, wwn, 3 * c))
+                acc_slab_ref[:, :, lon0:lon0 + wwn, :] = (
+                    acc_f.reshape(wz, wh, wwn, c))
+                a_dbqkv += jnp.sum(dqkv_f, axis=0, keepdims=True)
+            else:
+                a_dwproj += _dot(acc_f, gww, ta=True)
+                a_dbqkv += jnp.sum(dqkv_f, axis=0, keepdims=True)
+                a_dwqkv += _dot(xw, dqkvw, ta=True)
+            dx_ref[0, :, :, lon0:lon0 + wwn, :] = (
+                _dot(dqkvw, wqkv_ref[:], tb=True)
+                .astype(dx_ref.dtype).reshape(wz, wh, wwn, c))
+
+        if fat:
+            xs = x_ref[0].reshape(wz * wh * W, c)
+            dq = dqkv_slab_ref[:].reshape(wz * wh * W, 3 * c)
+            dwqkv_ref[:] += _dot(xs, dq, ta=True)
+            ac = acc_slab_ref[:].reshape(wz * wh * W, c)
+            gs = g_ref[0].reshape(wz * wh * W, c)
+            dwproj_ref[:] += _dot(ac, gs, ta=True)
+        else:
+            dwqkv_ref[:] += a_dwqkv
+            dwproj_ref[:] += a_dwproj
+        dbias_ref[0] += a_dbias.reshape(heads, t, t)
+        dbqkv_ref[:] += a_dbqkv
+        dbproj_ref[:] += a_dbproj
+
     return kernel
 
 
@@ -254,12 +394,12 @@ def _variant_call(variant: str):
         bias_spec,
     )
     scratch = []
-    if variant != "value_all":
+    if variant in ("local_accum", "fat_wgrad"):
         scratch += [
             pltpu.VMEM((t, c), jnp.bfloat16),
             pltpu.VMEM((t, 3 * c), jnp.float32),
         ]
-    if variant == "fat_wgrad":
+    if variant in ("fat_wgrad", "pair_fat", "tri_fat"):
         scratch += [
             pltpu.VMEM((wz, wh, W, 3 * c), jnp.bfloat16),
             pltpu.VMEM((wz, wh, W, c), jnp.bfloat16),
@@ -362,7 +502,8 @@ def smoke() -> None:
     (t stays 144 — fixed by the reference window — but one lat/lon slab),
     so schedule bugs are caught before any on-device minutes are spent."""
     global B, Z, HP, W, C, HEADS
-    B, Z, HP, W, C, HEADS = 1, 2, 6, 24, 32, 2
+    # W = 72 so wn = 6 divides by the pair (2) and tri (3) packings
+    B, Z, HP, W, C, HEADS = 1, 2, 6, 72, 32, 2
 
     real_call = pl.pallas_call
 
