@@ -534,13 +534,19 @@ def main() -> None:
     import bench
 
     bench._enable_compile_cache()
-    variants = sys.argv[1:] or list(VARIANTS)
+    # --skip-parity: the full-geometry parity jit is a separate multi-minute
+    # remote compile per variant; interpret-mode parity (--smoke) already
+    # covers the schedules, so timing sweeps can skip it and the winner gets
+    # one on-device parity run before integration.
+    skip_parity = "--skip-parity" in sys.argv
+    variants = [a for a in sys.argv[1:] if not a.startswith("--")] or list(
+        VARIANTS)
     rng = np.random.default_rng(0)
     args = _make_args(rng)
     out = {}
     for v in variants:
         try:
-            if v != "shipped":
+            if v != "shipped" and not skip_parity:
                 pd = check_parity(v, args)
                 print(json.dumps({f"{v}_parity_maxdiff": round(pd, 6)}),
                       flush=True)
