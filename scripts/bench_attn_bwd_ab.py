@@ -21,6 +21,9 @@ causes are all in the backward's cross-window accumulation structure:
                 per-head dq/dk/dv and acc are kept as values and
                 lane-concatenated into (t, 3c)/(t, c), so the narrow
                 32-lane strided writes disappear entirely.
+  value_fat   — value_all + the fat_wgrad staging combined (no packing):
+                no per-head scratch stores AND the weight grads as one
+                deep dot per program — the two individually-measured wins.
   pair/tri    — value_all processing 2/3 lon-windows per iteration: the
                 row-wise dots (qkv recompute, dacc, dwqkv, dx, dwproj) run
                 at M = 288/432 instead of 144 (M-tile util 56% -> 75%/84%
@@ -63,7 +66,7 @@ B, Z, HP, W, C = 1, 8, 186, 360, 192
 WINDOW = (2, 6, 12)
 HEADS = 6
 
-VARIANTS = ("shipped", "local_accum", "fat_wgrad", "value_all",
+VARIANTS = ("shipped", "local_accum", "fat_wgrad", "value_all", "value_fat",
             "pair", "tri", "pair_fat", "tri_fat")
 _NW = {"pair": 2, "tri": 3, "pair_fat": 2, "tri_fat": 3}
 
@@ -119,8 +122,8 @@ def _make_variant_kernel(variant: str):
     scale = _scale()
     nw = _NW.get(variant, 1)
     local = variant != "shipped"
-    fat = variant in ("fat_wgrad", "pair_fat", "tri_fat")
-    values = variant in ("value_all",) or nw > 1
+    fat = variant in ("fat_wgrad", "value_fat", "pair_fat", "tri_fat")
+    values = variant in ("value_all", "value_fat") or nw > 1
 
     def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
@@ -129,7 +132,7 @@ def _make_variant_kernel(variant: str):
         if not values:
             acc_ref, dqkv_ref = scratch[:2]
         if fat:
-            dqkv_slab_ref, acc_slab_ref = scratch[2:]
+            dqkv_slab_ref, acc_slab_ref = scratch[-2:]
         zi, hi, bb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         first = (zi == 0) & (hi == 0) & (bb == 0)
 
@@ -399,7 +402,7 @@ def _variant_call(variant: str):
             pltpu.VMEM((t, c), jnp.bfloat16),
             pltpu.VMEM((t, 3 * c), jnp.float32),
         ]
-    if variant in ("fat_wgrad", "pair_fat", "tri_fat"):
+    if variant in ("fat_wgrad", "value_fat", "pair_fat", "tri_fat"):
         scratch += [
             pltpu.VMEM((wz, wh, W, 3 * c), jnp.bfloat16),
             pltpu.VMEM((wz, wh, W, c), jnp.bfloat16),
