@@ -282,7 +282,18 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
                      scale: float, with_mask: bool):
     """Flash-style backward: scores are recomputed per window (never stored),
     weight/bias gradients accumulate in VMEM-resident output blocks across
-    the sequential TPU grid."""
+    the sequential TPU grid.
+
+    Fat weight-grad schedule (round-3 A/B, docs/PERFORMANCE.md): per-window
+    dqkv/acc are staged into program-wide bf16 slabs and the weight grads
+    computed as ONE deep (rows x C)^T @ (rows x 3C) dot per program after the
+    window loop — measured 22.7 vs 23.9 ms/call for 30 shallow depth-144
+    read-modify-write accumulations (lon-window packing of the row-wise dots
+    was also tried and lost 25-28%: the VMEM lane-concats cost more than the
+    M-tile utilization they buy). Per-head dq/dk/dv stay loop-carried values
+    (no strided 32-lane scratch stores); bias/bqkv/bproj grads accumulate in
+    loop-carried f32 and touch their output refs once per program.
+    """
     wz, wh, ww = window
     wn = w // ww
     t = wz * wh * ww
@@ -293,7 +304,7 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
         rest = list(rest)
         mask_ref = rest.pop(0) if with_mask else None
         (dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-         dbias_ref, acc_ref, dqkv_ref) = rest
+         dbias_ref, dqkv_slab_ref, acc_slab_ref) = rest
 
         zi, hi, bb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         first = (zi == 0) & (hi == 0) & (bb == 0)
@@ -316,6 +327,10 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
                 preferred_element_type=jnp.float32,
             )
 
+        a_dbqkv = jnp.zeros((1, 3 * c), jnp.float32)
+        a_dbproj = jnp.zeros((1, c), jnp.float32)
+        a_dbias = jnp.zeros((heads * t, t), jnp.float32)
+
         for wi in range(wn):
             xw = x_ref[0, :, :, wi * ww:(wi + 1) * ww, :].reshape(t, c)
             gw = (g_ref[0, :, :, wi * ww:(wi + 1) * ww, :]
@@ -325,10 +340,7 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
             qkv = (dot(xw, wqkv_ref[:])
                    + bqkv_ref[:].astype(jnp.float32)).astype(xw.dtype)
 
-            # proj backward needs acc = concat_h(p@v): recompute heads once
-            # for acc, then again per head for the score grads — trading
-            # FLOPs for never materializing all (t,t) scores at once.
-            dbproj_ref[:] += jnp.sum(gw, axis=0, keepdims=True)
+            a_dbproj += jnp.sum(gw, axis=0, keepdims=True)
             dacc = dot(gw.astype(xw.dtype), wproj_ref[:], tb=True)  # (t, c)
 
             # Stacked-head schedule (same reasoning as the forward kernel):
@@ -348,38 +360,49 @@ def _make_bwd_kernel(window: Tuple[int, int, int], w: int, c: int, heads: int,
             p = p / jnp.sum(p, axis=-1, keepdims=True)       # fp32
             pw = p.astype(xw.dtype)
 
-            dp_l = []
+            dp_l, dv_l, acc_l = [], [], []
             for h in range(heads):
                 vh = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
                 ph = pw[h * t:(h + 1) * t]
-                acc_ref[:, h * d:(h + 1) * d] = dot(ph, vh).astype(acc_ref.dtype)
+                acc_l.append(dot(ph, vh))                         # (t, d)
                 do = dacc[:, h * d:(h + 1) * d].astype(xw.dtype)  # (t, d)
                 dp_l.append(dot(do, vh, tb=True))                 # (t, t)
-                dqkv_ref[:, 2 * c + h * d:2 * c + (h + 1) * d] = (
-                    dot(ph, do, ta=True)                          # dv
-                )
+                dv_l.append(dot(ph, do, ta=True))                 # dv
             DP = jnp.concatenate(dp_l, axis=0)               # (heads*t, t)
             DS = p * (DP - jnp.sum(DP * p, axis=-1, keepdims=True))
+            a_dbias += DS
             DSw = DS.astype(xw.dtype)
+            dq_l, dk_l = [], []
             for h in range(heads):
                 qh = qkv[:, h * d:(h + 1) * d]
                 kh = qkv[:, c + h * d:c + (h + 1) * d]
-                dbias_ref[0, h] += DS[h * t:(h + 1) * t]
                 dsw = DSw[h * t:(h + 1) * t]
-                dqkv_ref[:, h * d:(h + 1) * d] = dot(dsw, kh) * scale
-                dqkv_ref[:, c + h * d:c + (h + 1) * d] = (
-                    dot(dsw, qh, ta=True) * scale
-                )
+                dq_l.append(dot(dsw, kh) * scale)
+                dk_l.append(dot(dsw, qh, ta=True) * scale)
 
-            dwproj_ref[:] += dot(acc_ref[:], gw.astype(xw.dtype), ta=True)
-            dqkv = dqkv_ref[:]
-            dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+            dqkv = jnp.concatenate(dq_l + dk_l + dv_l, axis=1)  # (t, 3c) f32
+            acc = jnp.concatenate(acc_l, axis=1)                # (t, c) f32
+            a_dbqkv += jnp.sum(dqkv, axis=0, keepdims=True)
             dqkvw = dqkv.astype(xw.dtype)
-            dwqkv_ref[:] += dot(xw, dqkvw, ta=True)
+            dqkv_slab_ref[:, :, wi * ww:(wi + 1) * ww, :] = (
+                dqkvw.reshape(wz, wh, ww, 3 * c))
+            acc_slab_ref[:, :, wi * ww:(wi + 1) * ww, :] = (
+                acc.astype(xw.dtype).reshape(wz, wh, ww, c))
             dx_ref[0, :, :, wi * ww:(wi + 1) * ww, :] = (
                 dot(dqkvw, wqkv_ref[:], tb=True)
                 .astype(dx_ref.dtype).reshape(wz, wh, ww, c)
             )
+
+        # ONE deep weight-grad dot each per program: rows = wz*wh*w
+        rows = wz * wh * w
+        xs = x_ref[0].reshape(rows, c)
+        dwqkv_ref[:] += dot(xs, dqkv_slab_ref[:].reshape(rows, 3 * c),
+                            ta=True)
+        gs = g_ref[0].reshape(rows, c)
+        dwproj_ref[:] += dot(acc_slab_ref[:].reshape(rows, c), gs, ta=True)
+        dbias_ref[0] += a_dbias.reshape(heads, t, t)
+        dbqkv_ref[:] += a_dbqkv
+        dbproj_ref[:] += a_dbproj
 
     return kernel
 
@@ -450,8 +473,9 @@ def _backward_pallas(x, wqkv, bqkv, wproj, bias, mask, g,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((t, c), x.dtype),          # per-window attention acc
-            pltpu.VMEM((t, 3 * c), jnp.float32),  # per-window dqkv
+            # program-wide staging slabs for the fat weight-grad dots
+            pltpu.VMEM((wz, wh, w, 3 * c), x.dtype),  # dqkv slab
+            pltpu.VMEM((wz, wh, w, c), x.dtype),      # attention-acc slab
         ],
         # slabs + grads + bias rows exceed the conservative 16MB scoped
         # default by ~1.5MB at the outer stage; v5e/v5p VMEM is far larger
