@@ -148,7 +148,7 @@ def main() -> None:
     # cost (seconds, and noisy, through tunneled devices), leaving per-step
     # device time. A wide K gap and min-of-several reps bound the noise to a
     # few ms/step.
-    def timed(k, reps=4):
+    def timed(k, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -156,7 +156,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k_short, k_long = 5, 45
+    # 5/25 at 3 reps: the dress-rehearsal showed 5/45 x 4 reps spending
+    # ~184 s in the timing block alone (steps x ~0.18 s + a tunnel round
+    # trip per dispatch), starving the train phase out of a 480 s budget.
+    k_short, k_long = 5, 25
     _note(f"compile+warm rollout steps={k_short}")
     float(rollout(params, upper, surface, aux, k_short))
     _note(f"compile+warm rollout steps={k_long}")
@@ -316,7 +319,7 @@ def bench_train_step(cfg, model, aux, params, upper, surface) -> float:
     # "train step" was observed against an ~850 ms device-busy profile).
     diffs = sorted(
         (timed(k_long) - timed(k_short)) / (k_long - k_short)
-        for _ in range(5)
+        for _ in range(3)
     )
     return diffs[len(diffs) // 2]
 
