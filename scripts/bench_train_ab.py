@@ -100,7 +100,7 @@ def run_variant(name: str) -> float:
         (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
     try:
-        value = bench.bench_train_step(cfg, model, aux, params, upper, surface)
+        value, _extra = bench.bench_train_step(cfg, model, aux, params, upper, surface)
     finally:
         fbt._TRAIN_FUSION = fbt_orig
         if name == "xla_mlp":
