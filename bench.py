@@ -72,44 +72,16 @@ def _note(msg: str) -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache next to this file. Full-geometry
-    compiles take minutes through a tunneled device; repeat bench runs on the
-    same chip kind should pay that once."""
-    import jax
-    from jax.experimental.compilation_cache import compilation_cache as cc
+    """Persistent XLA compilation cache next to this file, with
+    chip-roulette-stable keys for this single-chip benchmark (the tunnel
+    may attach each run to a different chip instance of the same kind; see
+    pangu_tpu.utils.compile_cache for the full story). Full-geometry
+    compiles take minutes through a tunneled device; repeat bench runs on
+    the same chip kind should pay that once."""
+    from pangu_tpu.utils.compile_cache import enable_compile_cache
 
-    cc.set_cache_dir(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _stabilize_cache_key()
-
-
-def _stabilize_cache_key() -> None:
-    """Make persistent-cache keys survive the tunnel's chip roulette.
-
-    jax's default cache key hashes (a) the serialized PjRt topology of the
-    attached devices and (b) the compile options WITH the device assignment
-    (stripping it is gated to platform=="gpu"). Through the device tunnel
-    every process may attach to a different chip *instance* of the same
-    kind, and instance-specific topology bytes change the key: a cache
-    primed in one run was observed to MISS in the next run on the same
-    device_kind with identical code, forcing a multi-minute full-geometry
-    recompile that blows the driver's bench timeout. For a single-chip
-    benchmark the compilation is fully determined by device_kind, so hash
-    that instead. Patched process-locally, before anything compiles."""
-    from jax._src import cache_key as ck
-
-    def _hash_accelerator_config(hash_obj, accelerators):
-        for device in accelerators.flat:
-            ck._hash_string(hash_obj, device.device_kind)
-
-    _orig_opts = ck._hash_serialized_compile_options
-
-    def _hash_compile_options(hash_obj, opts, strip_device_assignment=False):
-        return _orig_opts(hash_obj, opts, strip_device_assignment=True)
-
-    ck._hash_accelerator_config = _hash_accelerator_config
-    ck._hash_serialized_compile_options = _hash_compile_options
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def _robust_step_time(timed, k_short: int, k_long: int, reps: int,

@@ -39,6 +39,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def build_config(args) -> PanguConfig:
+    # opt-in persistent compile cache for every CLI entry point: resumed
+    # finetunes / repeated rollouts skip the minutes-long full-geometry
+    # compile (see pangu_tpu.utils.compile_cache)
+    if os.environ.get("PANGU_COMPILE_CACHE"):
+        from pangu_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     if args.config:
         cfg = load_config(args.config)
     elif args.preset == "tiny":
