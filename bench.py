@@ -53,7 +53,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 BASELINE_S = 1.0
 _T0 = time.monotonic()
@@ -85,7 +84,7 @@ def _enable_compile_cache() -> None:
 
 
 def _robust_step_time(timed, k_short: int, k_long: int, reps: int,
-                      min_reps: int, reserve: float, partial: dict = None):
+                      min_reps: int, reserve: float, progress: dict = None):
     """Per-step seconds from paired two-length timings, robust to a sick
     tunnel.
 
@@ -103,16 +102,20 @@ def _robust_step_time(timed, k_short: int, k_long: int, reps: int,
     ``timing_degraded`` and the raw median for transparency.
 
     Stops early once ``min_reps`` pairs exist and under ``reserve`` seconds
-    of budget remain (the train phase still has to run). ``partial``, if
+    of budget remain (the train phase still has to run). ``progress``, if
     given, receives the pairs as they complete so a caller that times this
-    function out from another thread can still report a bound."""
+    function out from another thread can still report a bound. (Named
+    ``progress``, not ``partial``: bench_train_step imports functools.partial
+    into its local scope for the jit decorator, and a parameter named
+    ``partial`` was silently shadowed by it — the box arrived as the
+    functools class and item-assignment blew up.)"""
     diffs, floors = [], []
     for _ in range(reps):
         ts, tl = timed(k_short), timed(k_long)
         diffs.append((tl - ts) / (k_long - k_short))
         floors.append(tl / k_long)
-        if partial is not None:
-            partial["diffs"], partial["floors"] = list(diffs), list(floors)
+        if progress is not None:
+            progress["diffs"], progress["floors"] = list(diffs), list(floors)
         if len(diffs) >= min_reps and _budget_remaining() < reserve:
             _note(f"timing: stopping after {len(diffs)} pairs "
                   f"(budget reserve {reserve:.0f}s)")
@@ -126,6 +129,19 @@ def _robust_step_time(timed, k_short: int, k_long: int, reps: int,
         return bound, {"timing_degraded": True,
                        "paired_diff_step_time_s": round(value, 5)}
     return value, {}
+
+
+def _device_inputs(m):
+    """Full-geometry synthetic (upper, surface) generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    ku, ks = jax.random.split(jax.random.PRNGKey(42))
+    upper = jax.random.normal(
+        ku, (1, m.upper_vars, m.levels, m.lat, m.lon), jnp.float32)
+    surface = jax.random.normal(
+        ks, (1, m.surface_vars, m.lat, m.lon), jnp.float32)
+    return upper, surface
 
 
 def _start_watchdog() -> None:
@@ -168,14 +184,16 @@ def main() -> None:
         use_pallas_attention=jax.default_backend() == "tpu",
     )
     m = cfg.model
-    aux = synthetic_aux_constants(m, cfg.train)
+    # device_put ONCE: numpy aux (~66 MB) passed as a jit argument is
+    # re-uploaded on EVERY call — seconds of per-call overhead and the
+    # main source of paired-difference noise through the tunnel
+    aux = jax.device_put(synthetic_aux_constants(m, cfg.train))
     model = PanguModel(m)
 
-    rng = np.random.default_rng(0)
-    upper = rng.standard_normal(
-        (1, m.upper_vars, m.levels, m.lat, m.lon)
-    ).astype(np.float32)
-    surface = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    # inputs are generated ON DEVICE: uploading the ~286 MB host arrays
+    # costs tens of seconds of the budget through the tunnel, and the
+    # rollout/train programs see identical avals either way
+    upper, surface = _device_inputs(m)
 
     _note("init params")
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
@@ -270,12 +288,12 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface) -> dict:
     import jax
 
     box: dict = {}
-    partial: dict = {}
+    progress: dict = {}
 
     def work():
         try:
             value, extra = bench_train_step(
-                cfg, model, aux, params, upper, surface, partial=partial)
+                cfg, model, aux, params, upper, surface, progress=progress)
             box["train_step_time_s"] = round(value, 5)
             box["train_device_kind"] = jax.devices()[0].device_kind
             for k, v in extra.items():
@@ -288,14 +306,14 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface) -> dict:
     t.start()
     t.join(timeout)
     if t.is_alive():
-        if partial.get("floors"):
+        if progress.get("floors"):
             # the timing loop was underway: report the tightest completed
             # upper bound rather than nothing (degraded, like a sick-tunnel
             # fallback — see _robust_step_time)
-            return {"train_step_time_s": round(min(partial["floors"]), 5),
+            return {"train_step_time_s": round(min(progress["floors"]), 5),
                     "train_timing_degraded": True,
                     "train_step_error":
-                        f"budget cut at {len(partial['floors'])} pairs; "
+                        f"budget cut at {len(progress['floors'])} pairs; "
                         f"value is the t(k_long)/k_long upper bound"}
         return {"train_step_time_s": None,
                 "train_step_error": f"still running at budget ({timeout:.0f}s)"}
@@ -318,13 +336,12 @@ def train_only() -> None:
         use_pallas_attention=jax.default_backend() == "tpu",
     )
     m = cfg.model
-    aux = synthetic_aux_constants(m, cfg.train)
+    # device_put ONCE: numpy aux (~66 MB) passed as a jit argument is
+    # re-uploaded on EVERY call — seconds of per-call overhead and the
+    # main source of paired-difference noise through the tunnel
+    aux = jax.device_put(synthetic_aux_constants(m, cfg.train))
     model = PanguModel(m)
-    rng = np.random.default_rng(0)
-    upper = rng.standard_normal(
-        (1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
-    surface = rng.standard_normal(
-        (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    upper, surface = _device_inputs(m)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
     value, extra = bench_train_step(cfg, model, aux, params, upper, surface)
     print(json.dumps({"train_step_time_s": round(value, 5),
@@ -333,7 +350,7 @@ def train_only() -> None:
           flush=True)
 
 
-def bench_train_step(cfg, model, aux, params, upper, surface, partial=None):
+def bench_train_step(cfg, model, aux, params, upper, surface, progress=None):
     """Per-step wall time of the jitted train step (fwd+bwd+Adam) at full
     geometry, bf16 compute + per-block remat, batch 1 — loop-amortized like
     the forecast benchmark."""
@@ -395,7 +412,7 @@ def bench_train_step(cfg, model, aux, params, upper, surface, partial=None):
     value, extra = _robust_step_time(
         timed, k_short, k_long,
         reps=int(os.environ.get("PANGU_BENCH_TRAIN_REPS", "4")),
-        min_reps=2, reserve=30.0, partial=partial)
+        min_reps=2, reserve=30.0, progress=progress)
     return value, extra
 
 
