@@ -151,6 +151,10 @@ def evaluate(
     step = jax.jit(
         score_step or make_score_step(model, cfg, return_fields=visualize)
     )
+    # commit once: numpy params/aux passed to a jitted step are re-uploaded
+    # on every call (~1 GB + ~66 MB per batch through a device tunnel)
+    params = jax.device_put(params)
+    aux = jax.device_put(aux)
 
     families_rmse = RMSE_FAMILIES
     families_acc = ACC_FAMILIES

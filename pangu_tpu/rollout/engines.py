@@ -50,6 +50,17 @@ class ModelBundle:
     aux: AuxConstants
     horizon: int
 
+    def __post_init__(self):
+        # commit weights/constants to device ONCE: params loaded from
+        # .npz/.pth arrive as host numpy arrays, and a numpy argument to a
+        # jitted function is re-transferred on EVERY call — for the ~1.1 GB
+        # param tree that is seconds of pure host->device copy per rollout
+        # step (measured via bench.py through the device tunnel)
+        import jax
+
+        self.params = jax.device_put(self.params)
+        self.aux = jax.device_put(self.aux)
+
     def forecast_step(self):
         if not hasattr(self, "_step"):
             self._step = make_forecast_step(self.model, donate=False)

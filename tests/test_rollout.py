@@ -222,3 +222,17 @@ def test_score_bundle_side_by_side(setup, tmp_path):
     # different model scored -> different numbers, same rows
     assert list(a.index) == list(b.index)
     assert not np.allclose(a.values, b.values)
+
+
+def test_bundle_commits_numpy_trees_to_device(setup):
+    """ModelBundle must device_put params/aux once at construction: numpy
+    arguments to a jitted forecast step are re-transferred on EVERY call
+    (~1.1 GB/step for pretrained weights loaded from .npz/.pth)."""
+    cfg, model, params, aux, upper, surface = setup
+    np_params = jax.tree.map(np.asarray, params)
+    np_aux = jax.tree.map(np.asarray, aux)
+    bundle = ModelBundle(model, np_params, np_aux, cfg.horizon)
+    for leaf in jax.tree.leaves(bundle.params):
+        assert isinstance(leaf, jax.Array)
+    for leaf in jax.tree.leaves(bundle.aux):
+        assert isinstance(leaf, jax.Array)
