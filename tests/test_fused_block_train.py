@@ -19,6 +19,17 @@ from pangu_tpu.ops.fused_block_train import fused_earth_block_train
 from pangu_tpu.ops.fused_epilogue import fused_residual_postnorm
 from pangu_tpu.ops.fused_mlp import fused_mlp_postnorm
 
+# These tests pin the CPU/XLA composition path at fp32-tight tolerances.
+# Under PANGU_TPU_TESTS=1 both sides route to bf16 Pallas kernels, whose
+# parity is validated in tests/test_tpu_kernels.py at kernel-calibrated
+# tolerances (relative-to-max 2e-2/3e-2) — the 2e-4 bounds here are a CPU
+# contract, not a TPU one.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="XLA-composition-path contract; TPU kernel parity lives in "
+           "test_tpu_kernels.py",
+)
+
 WINDOW = (2, 6, 12)
 T = 144
 
