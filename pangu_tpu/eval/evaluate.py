@@ -11,6 +11,7 @@ numpy results keyed by target time.
 
 from __future__ import annotations
 
+import logging
 import os
 import functools
 from functools import partial
@@ -198,7 +199,19 @@ def evaluate(
     csv_path = os.path.join(res_path, "csv")
     write_score_tables(csv_path, rmse_scores, acc_scores, cfg)
 
-    mean_loss = total_loss / max(1, n)
+    if n == 0:
+        # a too-narrow test window (shorter than one horizon, so no sample
+        # has a verifying target) silently read as a perfect 0.0 test loss
+        msg = ("evaluate(): the test range produced ZERO scoreable samples "
+               "(every sample needs a target one horizon ahead inside the "
+               "range) — widen data.test_start/test_end")
+        if logger:
+            logger.warning(msg)
+        else:
+            logging.getLogger("pangu_tpu.eval").warning(msg)
+        return float("nan")
+
+    mean_loss = total_loss / n
     if logger:
         logger.info("test_loss: %.6f", mean_loss)
     return mean_loss

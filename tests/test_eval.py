@@ -66,3 +66,27 @@ def test_evaluate_writes_scores(tmp_path):
     # visualization wrote pngs
     pngs = os.listdir(os.path.join(tmp_path, "png"))
     assert any(p.endswith(".png") for p in pngs)
+
+
+def test_evaluate_empty_window_is_loud_nan(tmp_path, caplog):
+    """A test range too narrow to contain any (input, +horizon target) pair
+    must NOT read as a perfect 0.0 test loss — it returns NaN and warns."""
+    cfg = pangu_tiny().replace(
+        data=DataConfig(
+            test_start="20180101", test_end="20180102", test_freq="24h",
+            prefetch=0,
+        )
+    )
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    m = cfg.model
+    upper = np.zeros((1, m.upper_vars, m.levels, m.lat, m.lon), np.float32)
+    surface = np.zeros((1, m.surface_vars, m.lat, m.lon), np.float32)
+    params = model.init(jax.random.PRNGKey(0), upper, surface, aux)
+
+    loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, batch_size=1)
+    assert len(loader) == 0
+    with caplog.at_level("WARNING"):
+        loss = evaluate(model, params, loader, aux, cfg, str(tmp_path))
+    assert np.isnan(loss)
+    assert any("ZERO scoreable samples" in r.message for r in caplog.records)
