@@ -110,7 +110,7 @@ def _robust_step_time(timed, k_short: int, k_long: int, reps: int,
     ``partial`` was silently shadowed by it — the box arrived as the
     functools class and item-assignment blew up.)"""
     diffs, floors = [], []
-    for _ in range(reps):
+    for _ in range(max(1, reps)):
         ts, tl = timed(k_short), timed(k_long)
         diffs.append((tl - ts) / (k_long - k_short))
         floors.append(tl / k_long)
@@ -311,6 +311,7 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface) -> dict:
             # upper bound rather than nothing (degraded, like a sick-tunnel
             # fallback — see _robust_step_time)
             return {"train_step_time_s": round(min(progress["floors"]), 5),
+                    "train_device_kind": jax.devices()[0].device_kind,
                     "train_timing_degraded": True,
                     "train_step_error":
                         f"budget cut at {len(progress['floors'])} pairs; "

@@ -27,7 +27,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
 
 
 def run_variant(name: str) -> float:
@@ -91,13 +90,12 @@ def run_variant(name: str) -> float:
         # postnorm-tail kernels (raw fused_mlp + XLA LN/droppath/residual)
         fm._POSTNORM_FUSION = False
     m = cfg.model
-    aux = synthetic_aux_constants(m, cfg.train)
+    # device-resident aux/inputs: numpy args to a jitted step are
+    # re-uploaded (~350 MB) on EVERY timed call — avoidable noise in the
+    # paired A/B differences (same fix as bench.py main())
+    aux = jax.device_put(synthetic_aux_constants(m, cfg.train))
     model = PanguModel(m)
-    rng = np.random.default_rng(0)
-    upper = rng.standard_normal(
-        (1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
-    surface = rng.standard_normal(
-        (1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    upper, surface = bench._device_inputs(m)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
     try:
         value, _extra = bench.bench_train_step(cfg, model, aux, params, upper, surface)

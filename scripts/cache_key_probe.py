@@ -54,9 +54,6 @@ def main() -> None:
                         *args, **kwargs)
 
     ck.get = instrumented_get
-    import jax._src.compiler as compiler_mod
-
-    compiler_mod.cache_key = ck
 
     import jax
     import jax.numpy as jnp

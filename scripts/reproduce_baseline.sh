@@ -59,9 +59,12 @@ from pangu_tpu.eval.csv_io import load_error_scores
 csv = sys.argv[1]
 z = load_error_scores(csv, "rmse", "upper_z")["500"].mean()
 t = load_error_scores(csv, "rmse", "upper_t")["850"].mean()
+failed = False
 for name, got, want in (("Z500", z, 45.001), ("T850", t, 0.717)):
     rel = abs(got - want) / want
     status = "OK" if rel < 0.01 else "FAIL"
+    failed = failed or rel >= 0.01
     print(f"{name}: {got:.3f} vs ONNX-weight baseline {want} "
           f"({rel * 100:.2f}% off) {status}")
+sys.exit(1 if failed else 0)
 EOF

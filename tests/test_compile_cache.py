@@ -41,7 +41,8 @@ def test_multi_device_key_delegates_to_jax():
 
     compile_cache.stabilize_single_chip_cache_key()
     devs = jax.devices()
-    assert len(devs) >= 2, "conftest provides an 8-device CPU mesh"
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices (PANGU_TPU_TESTS runs on one chip)")
     multi = np.array(devs[:2])
 
     # replicate jax's unpatched logic: serialized topology, falling back to
@@ -68,6 +69,8 @@ def test_compile_options_assignment_stripped_only_for_single():
     # with a 2-device assignment on a replicated program, the assignment
     # must still be part of the key (no stripping)
     devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices (PANGU_TPU_TESTS runs on one chip)")
 
     def opts_with(order):
         o = xla_client.CompileOptions()
