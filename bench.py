@@ -198,6 +198,12 @@ def main() -> None:
     _note("init params")
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
 
+    # tracing+lowering the train program is minutes of pure host work —
+    # overlap it with the entire forward phase (device untouched until the
+    # train phase compiles/loads the executable)
+    prep_done, prep_box = _start_train_prelower(
+        cfg, model, aux, params, upper, surface)
+
     # aux is an ARGUMENT (closed-over full-geometry arrays become inlined
     # literals and can push the program past the remote-compile size cap).
     # `steps` is a TRACED scalar driving a fori_loop, so every rollout
@@ -255,14 +261,16 @@ def main() -> None:
     print(json.dumps(result), flush=True)
 
     result.update(
-        _train_metric_inprocess(cfg, model, aux, params, upper, surface))
+        _train_metric_inprocess(cfg, model, aux, params, upper, surface,
+                                prep_done, prep_box))
     print(json.dumps(result), flush=True)
     # a blocked/hung device call on the worker thread cannot be joined;
     # the artifact is complete, leave unconditionally
     os._exit(0)
 
 
-def _train_metric_inprocess(cfg, model, aux, params, upper, surface) -> dict:
+def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
+                            prep_done=None, prep_box=None) -> dict:
     """Train-step timing on a worker THREAD in this process, bounded by the
     remaining overall budget.
 
@@ -292,8 +300,13 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface) -> dict:
 
     def work():
         try:
+            prep = None
+            if prep_done is not None:
+                prep_done.wait()  # budget enforced by the outer join
+                prep = prep_box
             value, extra = bench_train_step(
-                cfg, model, aux, params, upper, surface, progress=progress)
+                cfg, model, aux, params, upper, surface, progress=progress,
+                prep=prep)
             box["train_step_time_s"] = round(value, 5)
             box["train_device_kind"] = jax.devices()[0].device_kind
             for k, v in extra.items():
@@ -319,6 +332,71 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface) -> dict:
         return {"train_step_time_s": None,
                 "train_step_error": f"still running at budget ({timeout:.0f}s)"}
     return box
+
+
+def _prelower_train(cfg, model, aux, params, upper, surface) -> dict:
+    """Build + trace + lower the train-bench program (NO device compile).
+
+    batch and aux are ARGUMENTS: closed over, the full-geometry input
+    arrays (~300 MB) become inlined HLO literals and push the serialized
+    program past the remote-compile request size cap (HTTP 413).
+    An in-graph loop over steps: one dispatch per K, tunnel-latency-immune.
+    `steps` is a TRACED scalar (fori_loop), so all K share one compiled
+    program — one compile / one cache entry instead of two.
+    Caveat (measured, docs/PERFORMANCE.md): the loop carry double-buffers
+    the ~1 GB (params + Adam moments) state each iteration, so this reads
+    ~2x the profiler's device-busy time — a conservative upper bound.
+    (K per-step dispatches chained by donation were tried and do NOT
+    pipeline through the tunneled runtime: ~2.8 s/dispatch serialized.)
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from pangu_tpu.train.step import Batch, make_optimizer, make_train_step
+    from pangu_tpu.train.trainer import init_train_state
+
+    try:
+        optimizer = make_optimizer(cfg)
+        step = make_train_step(model, cfg, optimizer)
+        state = init_train_state(model, cfg, aux, optimizer, params=params)
+        batch = Batch(upper, surface, upper, surface)
+        base_rng = jax.random.PRNGKey(0)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(state, batch, aux, steps):
+            def body(i, carry):
+                st, acc = carry
+                st, loss = step(st, batch, aux,
+                                jax.random.fold_in(base_rng, i))
+                return st, acc + loss
+
+            state, total = jax.lax.fori_loop(
+                0, steps, body, (state, jnp.float32(0.0)))
+            return state, total
+
+        lowered = run.lower(state, batch, aux, jnp.asarray(1, jnp.int32))
+        return {"state": state, "batch": batch, "lowered": lowered}
+    except Exception as e:  # noqa: BLE001 — surfaced by bench_train_step
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+
+def _start_train_prelower(cfg, model, aux, params, upper, surface):
+    """Run _prelower_train on a daemon thread; returns (event, box)."""
+    import threading
+
+    box: dict = {}
+    done = threading.Event()
+
+    def work():
+        t0 = time.monotonic()
+        box.update(_prelower_train(cfg, model, aux, params, upper, surface))
+        _note(f"train program pre-lowered in background "
+              f"({time.monotonic() - t0:.0f}s)")
+        done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    return done, box
 
 
 def train_only() -> None:
@@ -351,56 +429,38 @@ def train_only() -> None:
           flush=True)
 
 
-def bench_train_step(cfg, model, aux, params, upper, surface, progress=None):
+def bench_train_step(cfg, model, aux, params, upper, surface, progress=None,
+                     prep=None):
     """Per-step wall time of the jitted train step (fwd+bwd+Adam) at full
     geometry, bf16 compute + per-block remat, batch 1 — loop-amortized like
-    the forecast benchmark."""
+    the forecast benchmark.
+
+    ``prep``: result of :func:`_prelower_train` (built on a background
+    thread during the forward phase — tracing+lowering the full-geometry
+    train program is minutes of PURE HOST work, the single largest chunk
+    of the train phase, and overlaps the forward timing without touching
+    the device)."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
-    from pangu_tpu.train.step import Batch, make_optimizer, make_train_step
-    from pangu_tpu.train.trainer import init_train_state
-
-    optimizer = make_optimizer(cfg)
-    step = make_train_step(model, cfg, optimizer)
-    state = init_train_state(model, cfg, aux, optimizer, params=params)
-    batch = Batch(upper, surface, upper, surface)
-
-    # batch and aux are ARGUMENTS: closed over, the full-geometry input
-    # arrays (~300 MB) become inlined HLO literals and push the serialized
-    # program past the remote-compile request size cap (HTTP 413).
-    # An in-graph loop over steps: one dispatch per K, tunnel-latency-immune.
-    # `steps` is a TRACED scalar (fori_loop), so all K share one compiled
-    # program — one compile / one cache entry instead of two.
-    # Caveat (measured, docs/PERFORMANCE.md): the loop carry double-buffers
-    # the ~1 GB (params + Adam moments) state each iteration, so this reads
-    # ~2x the profiler's device-busy time — a conservative upper bound.
-    # (K per-step dispatches chained by donation were tried and do NOT
-    # pipeline through the tunneled runtime: ~2.8 s/dispatch serialized.)
-    base_rng = jax.random.PRNGKey(0)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def run(state, batch, aux, steps):
-        def body(i, carry):
-            st, acc = carry
-            st, loss = step(st, batch, aux, jax.random.fold_in(base_rng, i))
-            return st, acc + loss
-
-        state, total = jax.lax.fori_loop(
-            0, steps, body, (state, jnp.float32(0.0)))
-        return state, total
+    if prep is None:
+        prep = _prelower_train(cfg, model, aux, params, upper, surface)
+    if "error" in prep:
+        raise RuntimeError(f"train pre-lowering failed: {prep['error']}")
+    state, batch = prep["state"], prep["batch"]
+    _note("compile train (cached executable load)")
+    compiled = prep["lowered"].compile()
 
     def timed(k):
         nonlocal state
         t0 = time.perf_counter()
-        state, s = run(state, batch, aux, jnp.asarray(k, jnp.int32))
+        state, s = compiled(state, batch, aux, jnp.asarray(k, jnp.int32))
         float(s)
         return time.perf_counter() - t0
 
     k_short, k_long = 2, 8
-    _note("compile+warm train (single dynamic-length program)")
-    state, s = run(state, batch, aux, jnp.asarray(1, jnp.int32))
+    _note("warm train (single dynamic-length program)")
+    state, s = compiled(state, batch, aux, jnp.asarray(1, jnp.int32))
     float(s)
     _note("timing train")
     # Median of PAIRED (k_long - k_short) differences: with only a 6-step
