@@ -60,6 +60,48 @@ def test_nonpositive_reps_still_produce_a_value():
     assert value == pytest.approx(0.3)
 
 
+def test_train_export_roundtrip(tmp_path, monkeypatch):
+    """The bench's jax.export fast path must round-trip, not silently fall
+    back to inline lowering (the fallback costs ~120 s of the driver's
+    bench budget at flagship geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_tiny
+    from pangu_tpu.model import PanguModel
+
+    cfg = pangu_tiny()
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    upper, surface = bench._device_inputs(cfg.model)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
+
+    blob = tmp_path / "train_export_test.bin"
+    monkeypatch.setattr(bench, "_train_export_blob_path",
+                        lambda _cfg: str(blob))
+
+    # cold: traces, exports, and returns a call built from the
+    # serialize->deserialize round-trip (NOT the "lowered" fallback).
+    # Each box gets its own params copy: the call donates its state,
+    # whose buffers alias the params tree passed in.
+    box = bench._prelower_train(
+        cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface)
+    assert "call" in box, box.get("error") or "fell back to inline lowering"
+    assert blob.exists() and blob.stat().st_size > 0
+    state, total = box["call"](box["state"], box["batch"], aux,
+                               jnp.asarray(2, jnp.int32))
+    assert jnp.isfinite(total)
+
+    # warm: restores the blob (no re-trace) and the program still runs
+    box2 = bench._prelower_train(
+        cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface)
+    assert "call" in box2, box2.get("error") or "fell back to inline lowering"
+    _, total2 = box2["call"](box2["state"], box2["batch"], aux,
+                             jnp.asarray(1, jnp.int32))
+    assert jnp.isfinite(total2)
+
+
 def test_budget_early_stop(monkeypatch):
     monkeypatch.setenv("PANGU_BENCH_BUDGET", "0")  # budget already spent
     calls = []
