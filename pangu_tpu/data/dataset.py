@@ -361,10 +361,17 @@ class BatchLoader:
             except Exception as e:  # surface loader errors on the main thread
                 errbox.append(e)
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass
+                # The sentinel MUST land: a non-blocking put while the queue
+                # is full drops it and strands the consumer's blocking get()
+                # forever (exactly the case when the producer outruns the
+                # consumer — the queue is full at end-of-iteration). Block
+                # with the same stop-aware loop as item puts.
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()

@@ -141,3 +141,26 @@ def test_prefetch_early_exit_does_not_hang(tiny_model):
 
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+def test_prefetch_slow_consumer_terminates(tiny_model):
+    """Regression: the producer's end-of-iteration sentinel must not be
+    dropped when the queue is full (fast producer, slow consumer). A
+    dropped sentinel strands the consumer's blocking get() forever."""
+    import threading
+    import time
+
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180110", "24h", 24)
+    loader = BatchLoader(ds, batch_size=1, prefetch=1)
+    periods = []
+    done = threading.Event()
+
+    def consume():
+        for _, p in loader:
+            time.sleep(0.05)  # let the producer fill the queue and finish
+            periods.append(p[0][0])
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "prefetch loader hung after the last batch"
+    assert len(periods) == len(loader)
