@@ -2,52 +2,68 @@
 simulated forecasts; reference demo/app.py:150,165-166 notes its data is
 simulated too).
 
-Run with streamlit when available:
+Unlike the reference's demo, this one can also drive REAL checkpoints and
+data through the same flags every other entry point uses (pangu_tpu.cli):
+
+    # synthetic tiny-geometry demo (default, matches the reference's demo)
     streamlit run demo/app.py
-Headless fallback (no streamlit): renders the same forecast panels to a
-static HTML report:
     python demo/app.py --out demo_report
+
+    # real weights + real normalization constants + real ERA5 .npy frames
+    streamlit run demo/app.py -- --preset pretrain \
+        --weights ckpt.npz --aux-dir aux/ --set data.root=/data/era5
+    python demo/app.py --preset pretrain --weights ckpt.npz --aux-dir aux/ \
+        --set data.root=/data/era5 --out demo_report
+
+Headless fallback (no streamlit) renders the same forecast panels to a
+static HTML report.
 """
 
 from __future__ import annotations
 
-import argparse
 import base64
 import io
 import os
 import sys
-from datetime import datetime, timedelta
+from datetime import datetime
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pangu_tpu.config import (
-    ERA5_SURFACE_VARIABLES,
-    ERA5_UPPER_LEVELS,
-    ERA5_UPPER_VARIABLES,
-    pangu_tiny,
-)
-from pangu_tpu.aux import synthetic_aux_constants
-from pangu_tpu.data import SyntheticStore
+from pangu_tpu.config import ERA5_SURFACE_VARIABLES
+from pangu_tpu.cli import base_parser, build_config, load_model_and_params
 
 
-def _forecast(init_time: datetime, steps: int):
-    """Tiny-geometry synthetic forecast (the reference demo also runs on
-    simulated data); swap in a real checkpoint via pangu_tpu.cli for
-    production use."""
-    import jax
+def _parse_args():
+    p = base_parser("Pangu-Weather TPU forecast demo")
+    p.add_argument("--steps", type=int, default=2,
+                   help="autoregressive steps (x horizon hours) to render")
+    p.add_argument("--init", type=str, default="2024010100",
+                   help="init time YYYYMMDDHH (headless mode)")
+    # the demo defaults to the tiny geometry — the full pretrained model is
+    # what scripts/rollout.py is for; pass --preset pretrain to override
+    p.set_defaults(preset="tiny")
+    # streamlit passes everything after `--` as script argv; tolerate any
+    # extra flags it injects
+    args, _ = p.parse_known_args()
+    return args
 
-    from pangu_tpu.model import PanguModel
+
+def _forecast(init_time: datetime, steps: int, args):
+    """Autoregressive forecast via the same wiring as scripts/rollout.py:
+    real store/aux/weights when configured, synthetic otherwise (the
+    reference demo only has the synthetic mode)."""
+    from pangu_tpu.aux import load_aux_constants
+    from pangu_tpu.data.dataset import make_store
     from pangu_tpu.rollout.autoregressive import make_forecast_step
 
-    cfg = pangu_tiny()
-    aux = synthetic_aux_constants(cfg.model, cfg.train)
-    store = SyntheticStore(cfg.model)
-    model = PanguModel(cfg.model)
+    cfg = build_config(args)
+    aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, cfg.horizon)
+    store = make_store(cfg.data, cfg.model)
+    model, params = load_model_and_params(cfg, args, aux)
     upper, surface = store.load(init_time)
     upper, surface = upper[None], surface[None]
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
     step = make_forecast_step(model, donate=False)
     frames = []
     u, s = upper, surface
@@ -72,33 +88,39 @@ def _render_field(field: np.ndarray, title: str):
     return fig
 
 
-def run_streamlit() -> None:
+def run_streamlit(args) -> None:
     import streamlit as st
 
     st.set_page_config(page_title="Pangu-Weather TPU Demo", layout="wide")
     st.title("Pangu-Weather TPU Forecast Demo")
-    st.caption("Autoregressive forecasts on the tiny demo geometry "
-               "(synthetic weather; wire a checkpoint for real forecasts).")
+    source = "real checkpoint" if args.weights else "synthetic weather"
+    st.caption(f"Autoregressive forecasts ({source}; pass --weights/"
+               "--aux-dir/--set data.root=... after `--` for real runs).")
 
     init = st.sidebar.date_input("Init date", datetime(2024, 1, 1))
-    steps = st.sidebar.slider("Forecast steps (x24h)", 1, 10, 3)
+    steps = st.sidebar.slider("Forecast steps", 1, 10, min(args.steps, 10))
     var = st.sidebar.selectbox("Surface variable", list(ERA5_SURFACE_VARIABLES))
 
-    cfg, frames = _forecast(datetime(init.year, init.month, init.day), steps)
+    cfg, frames = _forecast(
+        datetime(init.year, init.month, init.day), steps, args
+    )
     vi = list(ERA5_SURFACE_VARIABLES).index(var)
     cols = st.columns(min(3, steps))
     for i, (u, s) in enumerate(frames):
         with cols[i % len(cols)]:
-            st.pyplot(_render_field(s[vi], f"{var} +{24 * (i + 1)}h"))
+            st.pyplot(
+                _render_field(s[vi], f"{var} +{cfg.horizon * (i + 1)}h")
+            )
 
 
-def run_headless(out_dir: str, steps: int) -> str:
+def run_headless(out_dir: str, args) -> str:
     os.makedirs(out_dir, exist_ok=True)
-    cfg, frames = _forecast(datetime(2024, 1, 1), steps)
+    init = datetime.strptime(args.init, "%Y%m%d%H")
+    cfg, frames = _forecast(init, args.steps, args)
     imgs = []
     for i, (u, s) in enumerate(frames):
         for vi, var in enumerate(ERA5_SURFACE_VARIABLES[: cfg.model.surface_vars]):
-            fig = _render_field(s[vi], f"{var} +{24 * (i + 1)}h")
+            fig = _render_field(s[vi], f"{var} +{cfg.horizon * (i + 1)}h")
             buf = io.BytesIO()
             fig.savefig(buf, format="png", dpi=80)
             imgs.append(base64.b64encode(buf.getvalue()).decode())
@@ -122,15 +144,12 @@ def main() -> None:
     except Exception:
         in_streamlit = False
 
+    args = _parse_args()
     if in_streamlit:
-        run_streamlit()
+        run_streamlit(args)
         return
 
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--out", default="demo_report")
-    p.add_argument("--steps", type=int, default=2)
-    args = p.parse_args()
-    path = run_headless(args.out, args.steps)
+    path = run_headless(args.out or "demo_report", args)
     print(f"wrote {path}")
 
 
