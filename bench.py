@@ -198,11 +198,17 @@ def main() -> None:
     _note("init params")
     params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
 
+    # train-state construction allocates ~2x the params tree of Adam moments
+    # ON DEVICE (optax init) — do it HERE, serially, so the background
+    # pre-lower thread below stays pure-host and never dispatches device
+    # work concurrently with the timed forward rollouts
+    _note("init train state (Adam moments)")
+    objs = _make_train_objects(cfg, model, aux, params, upper, surface)
+
     # tracing+lowering the train program is minutes of pure host work —
     # overlap it with the entire forward phase (device untouched until the
     # train phase compiles/loads the executable)
-    prep_done, prep_box = _start_train_prelower(
-        cfg, model, aux, params, upper, surface)
+    prep_done, prep_box = _start_train_prelower(cfg, objs)
 
     # aux is an ARGUMENT (closed-over full-geometry arrays become inlined
     # literals and can push the program past the remote-compile size cap).
@@ -399,8 +405,35 @@ def _train_export_blob_path(cfg) -> str:
                         f"train_export_{h.hexdigest()[:16]}.bin")
 
 
-def _prelower_train(cfg, model, aux, params, upper, surface) -> dict:
-    """Build + trace + lower the train-bench program (NO device compile).
+def _make_train_objects(cfg, model, aux, params, upper, surface) -> dict:
+    """Optimizer/step/state/batch for the train bench. ALLOCATES ON DEVICE
+    (optax's Adam init builds mu/nu as zeros_like(params), ~2x the params
+    tree) — callers overlapping the pre-lowering with timed device work
+    must run this first, on the main thread (see main())."""
+    from pangu_tpu.train.step import Batch, make_optimizer, make_train_step
+    from pangu_tpu.train.trainer import init_train_state
+
+    try:
+        optimizer = make_optimizer(cfg)
+        step = make_train_step(model, cfg, optimizer)
+        state = init_train_state(model, cfg, aux, optimizer, params=params)
+        batch = Batch(upper, surface, upper, surface)
+        # the loop rng is folded per-step in-graph; create the base key here
+        # (a device op, however tiny) to keep the pre-lower thread host-only
+        import jax
+
+        base_rng = jax.random.PRNGKey(0)
+        return {"step": step, "state": state, "batch": batch, "aux": aux,
+                "base_rng": base_rng}
+    except Exception as e:  # noqa: BLE001 — surfaced by bench_train_step
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+
+def _prelower_train(cfg, objs) -> dict:
+    """Trace + lower the train-bench program from pre-built train objects
+    (:func:`_make_train_objects`) — pure HOST work, no device compile and
+    no device dispatch, so it is safe on a background thread while the
+    forward phase is being timed.
 
     batch and aux are ARGUMENTS: closed over, the full-geometry input
     arrays (~300 MB) become inlined HLO literals and push the serialized
@@ -418,15 +451,12 @@ def _prelower_train(cfg, model, aux, params, upper, surface) -> dict:
     import jax.numpy as jnp
     from functools import partial
 
-    from pangu_tpu.train.step import Batch, make_optimizer, make_train_step
-    from pangu_tpu.train.trainer import init_train_state
-
+    if "error" in objs:
+        return {"error": objs["error"]}
     try:
-        optimizer = make_optimizer(cfg)
-        step = make_train_step(model, cfg, optimizer)
-        state = init_train_state(model, cfg, aux, optimizer, params=params)
-        batch = Batch(upper, surface, upper, surface)
-        base_rng = jax.random.PRNGKey(0)
+        step = objs["step"]
+        state, batch, aux = objs["state"], objs["batch"], objs["aux"]
+        base_rng = objs["base_rng"]
 
         @partial(jax.jit, donate_argnums=(0,))
         def run(state, batch, aux, steps):
@@ -445,8 +475,10 @@ def _prelower_train(cfg, model, aux, params, upper, surface) -> dict:
         # blob is ~2 MB StableHLO; compile still goes through the (keyed)
         # persistent executable cache at call time. All host-only: this
         # runs on a background thread during the forward phase and must
-        # not touch the device.
-        steps0 = jnp.asarray(1, jnp.int32)
+        # not touch the device (a host numpy scalar traces identically).
+        import numpy as np
+
+        steps0 = np.int32(1)
         try:
             from jax import export as jexport
 
@@ -465,6 +497,9 @@ def _prelower_train(cfg, model, aux, params, upper, surface) -> dict:
                     "tpu_custom_call")],
             )(state, batch, aux, steps0)
             blob = exported.serialize()
+            # the XLA compile cache creates this dir lazily at first
+            # compile — don't rely on it existing yet
+            os.makedirs(os.path.dirname(blob_path), exist_ok=True)
             tmp = blob_path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(blob)
@@ -489,8 +524,11 @@ def _prelower_train(cfg, model, aux, params, upper, surface) -> dict:
         return {"error": f"{type(e).__name__}: {e}"[:300]}
 
 
-def _start_train_prelower(cfg, model, aux, params, upper, surface):
-    """Run _prelower_train on a daemon thread; returns (event, box)."""
+def _start_train_prelower(cfg, objs):
+    """Run _prelower_train on a daemon thread; returns (event, box).
+    ``objs`` must come from :func:`_make_train_objects` run on the MAIN
+    thread — the device allocations live there, keeping this thread
+    host-only while the forward phase is timed."""
     import threading
 
     box: dict = {}
@@ -498,7 +536,7 @@ def _start_train_prelower(cfg, model, aux, params, upper, surface):
 
     def work():
         t0 = time.monotonic()
-        box.update(_prelower_train(cfg, model, aux, params, upper, surface))
+        box.update(_prelower_train(cfg, objs))
         _note(f"train program pre-lowered in background "
               f"({time.monotonic() - t0:.0f}s)")
         done.set()
@@ -552,7 +590,8 @@ def bench_train_step(cfg, model, aux, params, upper, surface, progress=None,
     import jax.numpy as jnp
 
     if prep is None:
-        prep = _prelower_train(cfg, model, aux, params, upper, surface)
+        prep = _prelower_train(
+            cfg, _make_train_objects(cfg, model, aux, params, upper, surface))
     if "error" in prep:
         raise RuntimeError(f"train pre-lowering failed: {prep['error']}")
     state, batch = prep["state"], prep["batch"]

@@ -35,7 +35,7 @@ from pangu_tpu.config import ERA5_SURFACE_VARIABLES
 from pangu_tpu.cli import base_parser, build_config, load_model_and_params
 
 
-def _parse_args():
+def _parse_args(lenient: bool):
     p = base_parser("Pangu-Weather TPU forecast demo")
     p.add_argument("--steps", type=int, default=2,
                    help="autoregressive steps (x horizon hours) to render")
@@ -44,10 +44,12 @@ def _parse_args():
     # the demo defaults to the tiny geometry — the full pretrained model is
     # what scripts/rollout.py is for; pass --preset pretrain to override
     p.set_defaults(preset="tiny")
-    # streamlit passes everything after `--` as script argv; tolerate any
-    # extra flags it injects
-    args, _ = p.parse_known_args()
-    return args
+    if lenient:
+        # under streamlit, argv may carry flags streamlit itself injects;
+        # headless keeps argparse's strict unknown-flag rejection
+        args, _ = p.parse_known_args()
+        return args
+    return p.parse_args()
 
 
 def _forecast(init_time: datetime, steps: int, args):
@@ -98,13 +100,17 @@ def run_streamlit(args) -> None:
                "--aux-dir/--set data.root=... after `--` for real runs).")
 
     init = st.sidebar.date_input("Init date", datetime(2024, 1, 1))
-    steps = st.sidebar.slider("Forecast steps", 1, 10, min(args.steps, 10))
-    var = st.sidebar.selectbox("Surface variable", list(ERA5_SURFACE_VARIABLES))
+    steps = st.sidebar.slider("Forecast steps", 1, 10,
+                              max(1, min(args.steps, 10)))
+    # a config override may carry fewer surface variables than ERA5's 4
+    names = list(
+        ERA5_SURFACE_VARIABLES[: build_config(args).model.surface_vars])
+    var = st.sidebar.selectbox("Surface variable", names)
 
     cfg, frames = _forecast(
         datetime(init.year, init.month, init.day), steps, args
     )
-    vi = list(ERA5_SURFACE_VARIABLES).index(var)
+    vi = names.index(var)
     cols = st.columns(min(3, steps))
     for i, (u, s) in enumerate(frames):
         with cols[i % len(cols)]:
@@ -144,7 +150,7 @@ def main() -> None:
     except Exception:
         in_streamlit = False
 
-    args = _parse_args()
+    args = _parse_args(lenient=in_streamlit)
     if in_streamlit:
         run_streamlit(args)
         return

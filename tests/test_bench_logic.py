@@ -85,8 +85,8 @@ def test_train_export_roundtrip(tmp_path, monkeypatch):
     # serialize->deserialize round-trip (NOT the "lowered" fallback).
     # Each box gets its own params copy: the call donates its state,
     # whose buffers alias the params tree passed in.
-    box = bench._prelower_train(
-        cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface)
+    box = bench._prelower_train(cfg, bench._make_train_objects(
+        cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface))
     assert "call" in box, box.get("error") or "fell back to inline lowering"
     assert blob.exists() and blob.stat().st_size > 0
     state, total = box["call"](box["state"], box["batch"], aux,
@@ -94,8 +94,8 @@ def test_train_export_roundtrip(tmp_path, monkeypatch):
     assert jnp.isfinite(total)
 
     # warm: restores the blob (no re-trace) and the program still runs
-    box2 = bench._prelower_train(
-        cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface)
+    box2 = bench._prelower_train(cfg, bench._make_train_objects(
+        cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface))
     assert "call" in box2, box2.get("error") or "fell back to inline lowering"
     _, total2 = box2["call"](box2["state"], box2["batch"], aux,
                              jnp.asarray(1, jnp.int32))
