@@ -54,7 +54,17 @@ def export_forecast_step(
     )
     surface = jax.ShapeDtypeStruct((batch, m.surface_vars, m.lat, m.lon), np.float32)
     fn = jax.jit(make_serving_fn(model, params, aux))
-    exported = jax.export.export(fn, platforms=platforms)(upper, surface)
+    # Pallas kernels lower to the tpu_custom_call StableHLO op, which
+    # jax.export treats as non-portable and rejects by default. Allow it:
+    # a TPU serving artifact is tied to a compatible libtpu exactly the way
+    # the reference's ONNX graphs are tied to compatible ORT kernels.
+    exported = jax.export.export(
+        fn,
+        platforms=platforms,
+        disabled_checks=[
+            jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")
+        ],
+    )(upper, surface)
     with open(path, "wb") as f:
         f.write(exported.serialize())
 
