@@ -1,0 +1,85 @@
+"""End-to-end CLI smokes of the main entry points (reference
+finetune/finetune_fully.py __main__, inference/test_main.py __main__,
+inference/inference_*.py __main__): tiny geometry, synthetic store,
+short date ranges — catches argument-plumbing regressions the
+engine-level tests can't see."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def _run_script(name, argv, monkeypatch):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"{name}_cli_smoke", os.path.join(root, "scripts", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [f"{name}.py"] + argv)
+    mod.main()
+
+
+_TINY_DATES = [
+    "--set", "data.train_start=20180101 00:00:00",
+    "--set", "data.train_end=20180105 00:00:00",
+    "--set", "data.val_start=20180105 00:00:00",
+    "--set", "data.val_end=20180108 00:00:00",
+    "--set", "data.test_start=20180108 00:00:00",
+    "--set", "data.test_end=20180111 00:00:00",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_tiny
+    from pangu_tpu.interop.npz_io import save_params_npz
+    from pangu_tpu.model import PanguModel
+
+    cfg = pangu_tiny()
+    m = cfg.model
+    aux = synthetic_aux_constants(m, cfg.train)
+    model = PanguModel(m)
+    u = np.zeros((1, m.upper_vars, m.levels, m.lat, m.lon), np.float32)
+    s = np.zeros((1, m.surface_vars, m.lat, m.lon), np.float32)
+    params = model.init(jax.random.PRNGKey(5), u, s, aux)
+    path = tmp_path_factory.mktemp("ckpt") / "tiny.npz"
+    save_params_npz(str(path), params)
+    return str(path)
+
+
+def test_finetune_cli_smoke(tmp_path, monkeypatch, tiny_ckpt):
+    out = tmp_path / "run"
+    _run_script("finetune", [
+        "--preset", "tiny", "--out", str(out), "--weights", tiny_ckpt,
+        "--set", "train.epochs=1", "--set", "train.batch_size=1",
+        "--set", "train.save_interval=1", *_TINY_DATES,
+    ], monkeypatch)
+    run_dir = out / "finetune_fully" / "24"
+    assert (run_dir / "finetune.log").exists()
+    # the post-fit test pass writes the score CSV families
+    csvs = list(run_dir.rglob("*.csv"))
+    assert csvs, "finetune's final evaluate() wrote no score CSVs"
+
+
+def test_test_cli_smoke(tmp_path, monkeypatch, tiny_ckpt):
+    out = tmp_path / "run"
+    _run_script("test", [
+        "--preset", "tiny", "--out", str(out), "--weights", tiny_ckpt,
+        *_TINY_DATES,
+    ], monkeypatch)
+    csvs = list(out.rglob("*.csv"))
+    assert csvs, "test CLI wrote no score CSVs"
+
+
+def test_rollout_cli_smoke(tmp_path, monkeypatch, tiny_ckpt):
+    out = tmp_path / "run"
+    _run_script("rollout", [
+        "--preset", "tiny", "--out", str(out), "--weights", tiny_ckpt,
+        "--mode", "single", *_TINY_DATES,
+    ], monkeypatch)
+    assert list(out.rglob("*.csv")), "rollout CLI wrote no score CSVs"
