@@ -162,7 +162,10 @@ int32_t fl_read_batch(const char** paths, int32_t n, float* out,
       if (i >= n) return;
       int64_t rc = read_npy_into(paths[i], out + int64_t(i) * per_elems,
                                  per_elems);
-      if (rc < 0) {
+      // a short file (rc < per_elems) would leave uninitialized garbage in
+      // the slot tail — the numpy fallback raises on the same data, so the
+      // native path must too (exact element count required)
+      if (rc != per_elems) {
         int32_t expected = 0;
         failed.compare_exchange_strong(expected, -(i + 1));
       }

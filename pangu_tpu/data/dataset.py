@@ -98,7 +98,8 @@ class NetCDFStore:
     """Monthly ``surface_YYYYMM.nc`` + daily ``upper_YYYYMMDD.nc`` reader
     (reference NetCDFDataset, era5_data/utils_data.py:113-229): variables
     [z,q,t,u,v] with the level axis flipped to data order, [msl,u10,v10,t2m]
-    surface, expver=5 fallback. Gated on xarray."""
+    surface, finite-slice expver resolution (see _sel_time). Gated on
+    xarray."""
 
     def __init__(self, root: str):
         import importlib.util
@@ -107,18 +108,38 @@ class NetCDFStore:
             raise ImportError("NetCDFStore requires xarray")
         self.root = root
 
+    @staticmethod
+    def _sel_time(ds, t: datetime):
+        """Time-select with expver resolution for merged ERA5/ERA5T files:
+        each timestamp's data lives in exactly ONE expver slice (1=final,
+        5=preliminary) and the other slice is all-NaN. The reference
+        hardcodes expver=5 (utils_data.py:176-187), silently returning NaN
+        fields for finalized timestamps; here the slice with finite data
+        wins (final preferred), NaNs only if every slice is NaN."""
+        has_expver = ("expver" in getattr(ds, "dims", ())
+                      or "expver" in getattr(ds, "coords", ())
+                      or "expver" in ds)
+        if not has_expver:
+            return ds.sel(time=t)
+        chosen = None
+        for ev in sorted(np.atleast_1d(np.asarray(ds["expver"].values))):
+            sub = ds.sel(time=t, expver=ev)
+            probe = next(iter(sub.data_vars.values()))
+            if np.isfinite(np.asarray(probe.values).ravel()[:64]).any():
+                return sub
+            chosen = sub
+        return chosen
+
     def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
         import xarray as xr
 
         s = time_str(t)
-        sfc = xr.open_dataset(
+        sfc = self._sel_time(xr.open_dataset(
             os.path.join(self.root, "surface", f"surface_{s[:6]}.nc")
-        )
-        sfc = sfc.sel(time=t, expver=5) if "expver" in sfc else sfc.sel(time=t)
-        upp = xr.open_dataset(
+        ), t)
+        upp = self._sel_time(xr.open_dataset(
             os.path.join(self.root, "upper", f"upper_{s[:8]}.nc")
-        )
-        upp = upp.sel(time=t, expver=5) if "expver" in upp else upp.sel(time=t)
+        ), t)
 
         upper = np.stack(
             [upp[v].values.astype(np.float32) for v in ("z", "q", "t", "u", "v")]
@@ -284,6 +305,11 @@ class BatchLoader:
         accumulation: int = 1,
         prefetch: int = 2,
     ):
+        if accumulation > 1 and not drop_last:
+            # a trailing partial chunk cannot be reshaped to the
+            # (accumulation, batch_size) microbatch axes — fail at
+            # construction, not at the last batch of the epoch
+            raise ValueError("accumulation > 1 requires drop_last=True")
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

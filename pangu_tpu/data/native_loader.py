@@ -53,6 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        stale = (os.path.exists(_LIB) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SRC) > os.path.getmtime(_LIB))
+        if stale and not _build():
+            return None  # source changed but can't rebuild: don't run old .so
         if not os.path.exists(_LIB) and not (os.path.exists(_SRC) and _build()):
             return None
         try:
@@ -117,4 +121,6 @@ def read_batch(paths: Sequence[str], out: np.ndarray, threads: int = 8) -> None:
     )
     if rc != 0:
         idx = -rc - 1
-        raise IOError(f"fastloader: failed reading {paths[idx]}")
+        raise IOError(
+            f"fastloader: failed reading {paths[idx]} "
+            f"(unreadable, or element count != expected {per})")

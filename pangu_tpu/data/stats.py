@@ -37,9 +37,34 @@ class ComprehensiveStats:
         self.lon_wind = np.zeros((lon,), np.float64)
         self.month_wind: Dict[int, list] = {m: [] for m in range(1, 13)}
         self.extreme_counts = {t: 0 for t in self.EXTREME_THRESHOLDS}
-        self.wind_samples: list = []
+        # fixed-size reservoir for the wind distribution: appending a 20k
+        # subsample per frame (the reference stat.py accumulates FULL
+        # fields, stat.py:97-98) grows unboundedly — ~700 MB over a year of
+        # hourly frames; a reservoir keeps memory constant with the same
+        # percentile/moment accuracy
+        self.wind_reservoir = np.empty(self.RESERVOIR_SIZE, np.float32)
+        self.wind_filled = 0  # valid prefix of the reservoir
+        self.wind_seen = 0  # candidate points offered so far
         self.wind_max = 0.0
         self._px = lat * lon
+
+    RESERVOIR_SIZE = 200_000
+
+    def _offer_wind(self, vals: np.ndarray, rng) -> None:
+        """Vectorized reservoir sampling (Algorithm R): constant memory,
+        each offered point ends up retained with equal probability."""
+        r = self.wind_reservoir
+        if self.wind_filled < r.size:
+            take = min(r.size - self.wind_filled, vals.size)
+            r[self.wind_filled:self.wind_filled + take] = vals[:take]
+            self.wind_filled += take
+            self.wind_seen += take
+            vals = vals[take:]
+        if vals.size:
+            slots = rng.integers(0, self.wind_seen + vals.size, size=vals.size)
+            keep = slots < r.size
+            r[slots[keep]] = vals[keep]
+            self.wind_seen += vals.size
 
     def update(self, upper: np.ndarray, surface: np.ndarray,
                when: Optional[datetime] = None) -> None:
@@ -58,10 +83,9 @@ class ComprehensiveStats:
             self.extreme_counts[t] += int((ws > t).sum())
         # subsample for distribution stats (full fields are ~1M points each)
         flat = ws.ravel()
-        idx = np.random.default_rng(self.n).choice(
-            flat.size, size=min(20000, flat.size), replace=False
-        )
-        self.wind_samples.append(flat[idx])
+        rng = np.random.default_rng(self.n)
+        idx = rng.choice(flat.size, size=min(20000, flat.size), replace=False)
+        self._offer_wind(flat[idx].astype(np.float32), rng)
         if when is not None:
             self.month_wind[when.month].append(float(ws.mean()))
 
@@ -74,7 +98,8 @@ class ComprehensiveStats:
         upper_std = np.sqrt(np.maximum(self.upper_sq / n - upper_mean**2, 0))
         surface_mean = self.surface_sum / n
         surface_std = np.sqrt(np.maximum(self.surface_sq / n - surface_mean**2, 0))
-        wind = np.concatenate(self.wind_samples) if self.wind_samples else np.zeros(1)
+        wind = (self.wind_reservoir[: self.wind_filled]
+                if self.wind_filled else np.zeros(1, np.float32))
 
         seasons = {
             "DJF": [12, 1, 2], "MAM": [3, 4, 5], "JJA": [6, 7, 8], "SON": [9, 10, 11],

@@ -177,12 +177,19 @@ def evaluate(
             from pangu_tpu.eval import visualize as viz
 
             png_path = os.path.join(res_path, "png")
+            from pangu_tpu.config import (
+                ERA5_SURFACE_VARIABLES,
+                ERA5_UPPER_VARIABLES,
+            )
+
             names_u = (
-                list("zqtuv") if cfg.model.upper_vars == 5
+                list(ERA5_UPPER_VARIABLES)
+                if cfg.model.upper_vars == len(ERA5_UPPER_VARIABLES)
                 else [str(i) for i in range(cfg.model.upper_vars)]
             )
             names_s = (
-                ["msl", "u10", "v10", "t2m"] if cfg.model.surface_vars == 4
+                list(ERA5_SURFACE_VARIABLES)
+                if cfg.model.surface_vars == len(ERA5_SURFACE_VARIABLES)
                 else [str(i) for i in range(cfg.model.surface_vars)]
             )
             viz.plot_upper(

@@ -37,6 +37,29 @@ def make_forecast_step(model: PanguModel, donate: bool = True) -> Callable:
     return jax.jit(step, donate_argnums=(1, 2) if donate else ())
 
 
+@functools.lru_cache(maxsize=8)
+def _rollout_program(model: PanguModel, steps: int,
+                     keep_trajectory: bool) -> Callable:
+    """Cached jitted scan (same bounded-cache pattern as make_forecast_step
+    — an inline @jax.jit would re-trace and recompile the steps-long scan
+    on EVERY call, minutes per init time at full geometry). aux is an
+    argument: closed over, its full-geometry arrays would inline as HLO
+    constants."""
+
+    def run(params, upper, surface, aux: AuxConstants):
+        def body(carry, _):
+            u, s = carry
+            ou, os_ = model.apply(params, u, s, aux, True)
+            ou, os_ = norm_back_data(ou, os_, aux)
+            out = (ou, os_) if keep_trajectory else ()
+            return (ou, os_), out
+
+        carry, traj = jax.lax.scan(body, (upper, surface), length=steps)
+        return carry, traj
+
+    return jax.jit(run)
+
+
 def rollout_scan(
     model: PanguModel,
     params,
@@ -52,20 +75,8 @@ def rollout_scan(
     just the final fields. For long rollouts where every frame must be scored
     on host, prefer the ``make_forecast_step`` loop to overlap transfer.
     """
-
-    @jax.jit
-    def run(params, upper, surface):
-        def body(carry, _):
-            u, s = carry
-            ou, os_ = model.apply(params, u, s, aux, True)
-            ou, os_ = norm_back_data(ou, os_, aux)
-            out = (ou, os_) if keep_trajectory else ()
-            return (ou, os_), out
-
-        carry, traj = jax.lax.scan(body, (upper, surface), length=steps)
-        return carry, traj
-
-    (fu, fs), traj = run(params, upper, surface)
+    run = _rollout_program(model, steps, keep_trajectory)
+    (fu, fs), traj = run(params, upper, surface, aux)
     if keep_trajectory:
         return traj
     return fu, fs

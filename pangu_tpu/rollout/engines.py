@@ -108,9 +108,14 @@ def single_output_eval(
         u, s = batch.upper, batch.surface
         for _ in range(steps):
             u, s = step_fn(bundle.params, u, s, bundle.aux)
-        scores = scorer(u[0], s[0], batch.target_upper[0],
-                        batch.target_surface[0], bundle.aux)
-        _record(rmse_scores, acc_scores, jax.device_get(scores), periods[0][1])
+        # score EVERY sample of the batch (the reference only ever runs
+        # batch 1 here, inference_singleOutput.py batch_id=0; with a larger
+        # loader batch, scoring only element 0 would silently drop the rest)
+        for i, (_, target_time) in enumerate(periods):
+            scores = scorer(u[i], s[i], batch.target_upper[i],
+                            batch.target_surface[i], bundle.aux)
+            _record(rmse_scores, acc_scores, jax.device_get(scores),
+                    target_time)
 
     write_score_tables(os.path.join(res_path, "csv"), rmse_scores, acc_scores, cfg)
 
@@ -164,7 +169,12 @@ def multi_output_rollout(
 
         upper, surface = upper[None], surface[None]
         # per-model input chains (reference mix24 state logic,
-        # inference_multiOutput-3-mix24.py:164-165,183-194)
+        # inference_multiOutput-3-mix24.py:164-165,183-203). Preserved
+        # reference quirk: a specialized chain advances ONLY when its model
+        # is selected and never absorbs the others' frames (only the base
+        # chain does, line 203) — e.g. with base 3h, the 6h chain's frame
+        # at +30h is physically +24h; the base chain inherits that lag for
+        # the rest of the rollout, exactly as the reference does.
         chains: Dict[int, Tuple] = {h: (upper, surface) for h in bundles}
 
         rmse_scores, acc_scores = _new_score_dicts()
@@ -229,9 +239,15 @@ def hierarchical_forecast(
     """Greedy horizon decomposition for hours 24..48
     (reference inference_iterative.py:145-200):
 
-      24h model -> hour 24; 6h -> 30/36/42/48; 3h -> 27/33/39/45;
-      1h -> the rest; each step starts from the latest prediction at
-      ``h - model_horizon`` or earlier. Hour 0 is the (given) analysis state.
+      24h model -> hours 24/48; 6h -> 30/36/42; 3h -> 27/33/39/45;
+      1h -> the rest; each hour is filled from the latest prediction whose
+      gap the model bridges exactly. Hour 0 is the (given) analysis state.
+      Deliberate divergence: the reference hardcodes hour 48 to the 6h
+      model (inference_iterative.py:159) — four 6h applications on top of
+      the hour-24 frame; the greedy ladder reaches it with one more 24h
+      application (fewer error-accumulating steps). Missing bundles are
+      tolerated: shorter models chain as many exact applications as the
+      gap needs instead of mislabeling a single application.
 
     Returns {hour: (upper, surface)}. With ``spill_dir``, intermediate frames
     live as compressed .npz on disk (reference save/load_prediction,
@@ -266,20 +282,35 @@ def hierarchical_forecast(
         return item
 
     def run(model_h: int, target_hours: Sequence[int]):
+        if model_h not in bundles:
+            return
         b = bundles[model_h]
         for h in target_hours:
             if h in preds:
                 continue
-            latest = max(x for x in preds if x <= h - model_h)
-            u_in, s_in = load(latest)
-            u, s = b.forecast_step()(b.params, u_in[None], s_in[None], b.aux)
-            store(h, np.asarray(u)[0], np.asarray(s)[0])
+            # start only from states whose gap to h the model bridges
+            # EXACTLY, chaining applications when the gap is a multiple
+            # (the reference applies once from max(x <= h - model_h),
+            # inference_iterative.py:163-177 — with its fixed 24/6/3/1
+            # bundle set the gap is always exactly one application, but a
+            # missing bundle would make the single application store a
+            # physically earlier frame under label h)
+            cands = [x for x in preds
+                     if x <= h - model_h and (h - x) % model_h == 0]
+            if not cands:
+                continue  # a shorter-horizon model may still fill h
+            cur = max(cands)
+            u_in, s_in = load(cur)
+            while cur < h:
+                u, s = b.forecast_step()(b.params, u_in[None], s_in[None],
+                                         b.aux)
+                cur += model_h
+                u_in, s_in = np.asarray(u)[0], np.asarray(s)[0]
+                store(cur, u_in, s_in)
 
     run(24, [h for h in range(lo, hi + 1) if h % 24 == 0])
-    if 6 in bundles:
-        run(6, [h for h in range(lo, hi + 1) if h % 6 == 0])
-    if 3 in bundles:
-        run(3, [h for h in range(lo, hi + 1) if h % 3 == 0])
+    run(6, [h for h in range(lo, hi + 1) if h % 6 == 0])
+    run(3, [h for h in range(lo, hi + 1) if h % 3 == 0])
     if 1 in bundles:
         run(1, list(range(lo, hi + 1)))
 

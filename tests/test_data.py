@@ -164,3 +164,85 @@ def test_prefetch_slow_consumer_terminates(tiny_model):
     t.start()
     assert done.wait(timeout=30), "prefetch loader hung after the last batch"
     assert len(periods) == len(loader)
+
+
+def test_accumulation_requires_drop_last(tiny_model):
+    """accumulation > 1 with drop_last=False would crash reshaping the
+    final partial chunk — rejected at construction."""
+    ds = Era5Dataset(SyntheticStore(tiny_model), "20180101", "20180120",
+                     "24h", 24)
+    with pytest.raises(ValueError, match="drop_last"):
+        BatchLoader(ds, batch_size=1, accumulation=2, drop_last=False)
+
+
+def test_stats_reservoir_bounded():
+    """Wind distribution sampling must hold constant memory (reservoir),
+    not grow per frame."""
+    from pangu_tpu.data.stats import ComprehensiveStats
+
+    class Small(ComprehensiveStats):
+        RESERVOIR_SIZE = 64
+
+    st = Small(upper_vars=1, levels=1, surface_vars=4, lat=8, lon=16)
+    rng = np.random.default_rng(0)
+    for _ in range(10):  # 10 frames x 128 points >> 64-slot reservoir
+        st.update(rng.standard_normal((1, 1, 8, 16)).astype(np.float32),
+                  rng.standard_normal((4, 8, 16)).astype(np.float32))
+    assert st.wind_reservoir.size == 64 and st.wind_filled == 64
+    assert st.wind_seen == 10 * 8 * 16
+    r = st.results()
+    assert np.isfinite(r["wind_percentiles"][50])
+    assert r["wind_max"] >= r["wind_percentiles"][99]
+
+
+def test_native_loader_rejects_short_file(tmp_path, tiny_model):
+    """A truncated/smaller .npy must fail loudly on BOTH the native and the
+    numpy paths — never leave uninitialized garbage in the batch slot."""
+    from pangu_tpu.data import native_loader
+
+    good = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    short = np.arange(12, dtype=np.float32).reshape(2, 3, 2)
+    pg, ps = tmp_path / "good.npy", tmp_path / "short.npy"
+    np.save(pg, good)
+    np.save(ps, short)
+    out = np.empty((2, 2, 3, 4), np.float32)
+    with pytest.raises((IOError, ValueError)):
+        native_loader.read_batch([str(pg), str(ps)], out)
+
+
+def test_netcdf_expver_resolution():
+    """_sel_time picks the expver slice with finite data (the reference
+    hardcodes expver=5, silently returning NaN for finalized months)."""
+    from pangu_tpu.data.dataset import NetCDFStore
+
+    class FakeVar:
+        def __init__(self, values):
+            self.values = np.asarray(values)
+
+    class FakeDs:
+        def __init__(self, by_expver):
+            self._by = by_expver  # {expver: field}
+            self.dims = ("time", "expver")
+            self.coords = ("time", "expver")
+
+        def __contains__(self, k):
+            return k == "expver"
+
+        def __getitem__(self, k):
+            assert k == "expver"
+            return FakeVar(sorted(self._by))
+
+        def sel(self, time=None, expver=None):
+            class Sub:
+                def __init__(s, field):
+                    s.data_vars = {"msl": FakeVar(field)}
+            return Sub(self._by[expver])
+
+    finite = np.ones((4, 4))
+    nans = np.full((4, 4), np.nan)
+    # finalized month: data in expver=1, NaN in 5 -> must pick 1
+    sub = NetCDFStore._sel_time(FakeDs({1: finite, 5: nans}), None)
+    assert np.isfinite(sub.data_vars["msl"].values).all()
+    # preliminary month: data in expver=5 -> must pick 5
+    sub = NetCDFStore._sel_time(FakeDs({1: nans, 5: finite}), None)
+    assert np.isfinite(sub.data_vars["msl"].values).all()

@@ -236,3 +236,39 @@ def test_bundle_commits_numpy_trees_to_device(setup):
         assert isinstance(leaf, jax.Array)
     for leaf in jax.tree.leaves(bundle.aux):
         assert isinstance(leaf, jax.Array)
+
+
+def test_hierarchical_missing_24h_bundle(setup):
+    """Without the 24h model the 6h ladder must CHAIN exact applications
+    (0->6->...->24), not mislabel one application as +24h; and the missing
+    bundle must not raise (reference inference_iterative.py requires all
+    four models, ours degrades gracefully)."""
+    cfg, model, params, aux, upper, surface = setup
+    bundles = {6: ModelBundle(model, params, aux, 6)}
+    preds = hierarchical_forecast(
+        bundles, datetime(2018, 1, 1), upper[0], surface[0], hours=(24, 30))
+    assert sorted(h for h in preds) == [24, 30]
+    # ground truth: five manual 6h applications from the analysis
+    step = bundles[6].forecast_step()
+    u, s = upper, surface
+    for _ in range(5):
+        u, s = step(params, u, s, aux)
+    np.testing.assert_allclose(preds[30][0], np.asarray(u)[0], atol=2e-4)
+
+
+def test_single_output_eval_scores_every_batch_sample(setup, tmp_path):
+    """batch_size > 1: one CSV row per SAMPLE, not per batch."""
+    import pandas as pd
+
+    cfg, model, params, aux, *_ = setup
+    store = SyntheticStore(cfg.model)
+    ds = Era5Dataset(store, "20180101", "20180110", "24h", 24)
+    loader = make_loader(
+        DataConfig(test_start="20180101", test_end="20180110",
+                   test_freq="24h", prefetch=0),
+        cfg.model, "test", 24, batch_size=2)
+    bundle = ModelBundle(model, params, aux, 24)
+    single_output_eval(bundle, loader, cfg, str(tmp_path))
+    csv = next((tmp_path / "csv").glob("rmse_surface*.csv"))
+    rows = pd.read_csv(csv, index_col=0)
+    assert len(rows) == len(ds) - (len(ds) % 2)  # all full-batch samples
