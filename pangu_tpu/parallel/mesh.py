@@ -48,9 +48,25 @@ def distributed_init(
     equivalent of the reference's torchrun/Slurm env plumbing
     (era5_data/utils_dist.py:26-62). No-op when single-process."""
     if num_processes in (None, 1) and coordinator_address is None:
+        # TPU pods announce themselves through the environment; only a
+        # visibly multi-host environment warrants the no-arg auto-init
+        # (jax.distributed.initialize() discovers coordinator/count/id from
+        # the TPU or megascale metadata). A bare single-host run stays a
+        # no-op — but it must NOT require the nonstandard JAX_NUM_PROCESSES
+        # to be set on a real pod, or every host would silently train an
+        # independent model (process_count() == 1 everywhere).
         env_procs = os.environ.get("JAX_NUM_PROCESSES")
-        if env_procs is None or int(env_procs) <= 1:
+        # TPU_WORKER_HOSTNAMES exists on EVERY TPU VM (single host:
+        # "localhost") — only a comma-separated multi-host list means a pod
+        multi_hosts = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        pod_env = env_procs is not None or multi_hosts or any(
+            os.environ.get(k)
+            for k in ("MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+        )
+        if not pod_env or (env_procs is not None and int(env_procs) <= 1):
             return
+        jax.distributed.initialize()
+        return
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 

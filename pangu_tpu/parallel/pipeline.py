@@ -313,12 +313,18 @@ class PanguPipeline:
         )
         def run(flat_block, micro_u, micro_s, aux, rng):
             sid = jax.lax.axis_index("pipe")
+            # fold the data-axis index too: rng arrives replicated (P()),
+            # and without this every data-parallel replica would draw
+            # IDENTICAL droppath/dropout masks — correlated regularization
+            # noise the non-pipeline path doesn't have
+            did = jax.lax.axis_index("data")
             local_flat = flat_block[0]
 
             def tick(carry, t):
                 buf, outs = carry
                 m = jnp.minimum(t, M - 1)
-                key = jax.random.fold_in(jax.random.fold_in(rng, t), sid)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(rng, t), sid), did)
                 out = jax.lax.switch(sid, branches, local_flat, buf, aux,
                                      micro_u, micro_s, m, key)
                 j = t - (S - 1)

@@ -14,8 +14,14 @@ def multistep_lr(
     gamma: float,
     steps_per_epoch: int,
 ) -> optax.Schedule:
-    """Piecewise-constant decay at epoch milestones, expressed in steps."""
+    """Piecewise-constant decay at epoch milestones, expressed in steps.
+
+    A repeated milestone multiplies by gamma once PER occurrence
+    (``gamma ** count``), matching torch MultiStepLR's Counter semantics."""
+    from collections import Counter
+
+    counts = Counter(int(m) for m in milestones)
     boundaries = {
-        int(m) * max(1, steps_per_epoch): gamma for m in sorted(milestones)
+        m * max(1, steps_per_epoch): gamma ** c for m, c in counts.items()
     }
     return optax.piecewise_constant_schedule(base_lr, boundaries)

@@ -181,17 +181,17 @@ class Trainer:
                 profiling = True
             t0 = time.time()
             epoch_loss, n_batches = 0.0, 0
-            for batch, _periods in train_loader:
-                rng, step_rng = jax.random.split(rng)
-                state, loss = self.train_step(state, batch, self.aux, step_rng)
-                loss = float(loss)
-                if not np.isfinite(loss):
-                    # failure brake: a non-finite loss poisons the params
-                    # irrecoverably — fail fast with a pointer to the last
-                    # good checkpoint instead of training garbage.
+
+            def consume(device_loss, step_no):
+                # failure brake: a non-finite loss poisons the params
+                # irrecoverably — fail fast with a pointer to the last
+                # good checkpoint instead of training garbage.
+                nonlocal epoch_loss, bad_steps
+                lf = float(device_loss)
+                if not np.isfinite(lf):
                     bad_steps += 1
                     self.logger.warning(
-                        "non-finite loss at epoch %d step %d", epoch, n_batches
+                        "non-finite loss at epoch %d step %d", epoch, step_no
                     )
                     if bad_steps >= 3:
                         raise FloatingPointError(
@@ -201,8 +201,22 @@ class Trainer:
                         )
                 else:
                     bad_steps = 0
-                epoch_loss += loss
+                epoch_loss += lf
+
+            # the host-blocking float() of step i runs only AFTER step i+1
+            # is dispatched, so the device never idles waiting on the brake
+            # check (one per-step round trip saved; the brake fires at most
+            # one step late)
+            pending = None
+            for batch, _periods in train_loader:
+                rng, step_rng = jax.random.split(rng)
+                state, loss = self.train_step(state, batch, self.aux, step_rng)
+                if pending is not None:
+                    consume(pending, n_batches - 1)
+                pending = loss
                 n_batches += 1
+            if pending is not None:
+                consume(pending, n_batches - 1)
             epoch_loss /= max(1, n_batches)
             self.logger.info(
                 "Epoch %d: loss=%.6f, time=%.3f", epoch, epoch_loss, time.time() - t0
@@ -212,7 +226,13 @@ class Trainer:
                 profiling = False
                 self.logger.info("profile written to %s", self.profile_dir)
 
-            if is_main and epoch % cfg.train.save_interval == 0:
+            if epoch % cfg.train.save_interval == 0:
+                # EVERY process calls the save: orbax's save is a
+                # cross-process collective (each host writes its
+                # addressable shards — with ZeRO the Adam moments are
+                # sharded over hosts and rank 0 alone could not even
+                # serialize them; a rank-0-only call deadlocks the rest
+                # of the pod in the next step's collectives)
                 ckpt.save_train_state(f"{self.out_dir}/models", epoch, state)
 
             if val_loader is not None and epoch % cfg.train.val_interval == 0:
@@ -230,8 +250,9 @@ class Trainer:
                 if val_loss < best_loss:
                     best_loss = val_loss
                     best_params = jax.tree.map(jnp.copy, state.params)
-                    if is_main:
-                        ckpt.save_params(f"{self.out_dir}/models", state.params, "best")
+                    # collective save — all processes participate (above)
+                    ckpt.save_params(f"{self.out_dir}/models", state.params,
+                                     "best")
                     self.logger.info("current best model is saved at %d epoch.", epoch)
                     stale_epochs = 0
                 else:

@@ -351,3 +351,43 @@ def test_ensure_virtual_devices_pins_cpu_before_discovery():
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
     assert "OK 6" in out.stdout, (out.stdout, out.stderr[-500:])
+
+
+def test_distributed_init_env_gating(monkeypatch):
+    """distributed_init: no-op on a bare single host, auto-init when a pod
+    environment announces itself (NOT only via JAX_NUM_PROCESSES)."""
+    import jax
+
+    from pangu_tpu.parallel.mesh import distributed_init
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(a))
+    for var in ("JAX_NUM_PROCESSES", "MEGASCALE_COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+
+    distributed_init()
+    assert calls == []  # bare single host: no-op
+
+    # every TPU VM sets TPU_WORKER_HOSTNAMES; a single hostname is NOT a pod
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    distributed_init()
+    assert calls == []
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    distributed_init()
+    assert calls == []  # explicit single process: no-op
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    distributed_init()
+    assert calls == [()]  # env-driven pod: no-arg auto-init
+
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    distributed_init()
+    assert len(calls) == 2 and calls[1] == ()  # pod metadata alone suffices
+
+    distributed_init("10.0.0.1:1234", 2, 0)  # explicit args pass through
+    assert calls[2] == ("10.0.0.1:1234", 2, 0)

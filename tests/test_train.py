@@ -326,3 +326,11 @@ def test_bf16_grad_tree_matches_f32_masters(setup):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_multistep_schedule_duplicate_milestones():
+    """torch MultiStepLR applies gamma once PER occurrence of a repeated
+    milestone (Counter semantics)."""
+    sched = multistep_lr(1.0, (2, 2), 0.5, steps_per_epoch=1)
+    assert float(sched(1)) == pytest.approx(1.0)
+    assert float(sched(3)) == pytest.approx(0.25)
