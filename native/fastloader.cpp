@@ -75,9 +75,13 @@ int64_t parse_header(FILE* f, NpyInfo* info) {
   else
     return ERR_DTYPE;
 
-  // C order only
+  // C order only. Bounds-check before compare: on a truncated header,
+  // compare(pos > size) throws std::out_of_range, and a C++ exception
+  // escaping the extern "C" boundary into ctypes aborts the process
+  // instead of returning the ERR_* code this API promises.
   size_t fpos = header.find("'fortran_order':");
-  if (fpos == std::string::npos) return ERR_HEADER;
+  if (fpos == std::string::npos || fpos + 17 + 4 > header.size())
+    return ERR_HEADER;
   if (header.compare(fpos + 17, 4, "True") == 0) return ERR_ORDER;
 
   // shape tuple product

@@ -54,18 +54,31 @@ def sharded_val_stats(
     mesh = active_mesh()
     loss_sum, n = 0.0, 0
     for batch, _periods in val_loader:
-        if count > 1 and mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            batch = type(batch)(*(
-                jax.make_array_from_process_local_data(
-                    NamedSharding(mesh, P(("data",))), np.asarray(a)
-                )
-                for a in batch
-            ))
+        if count > 1:
+            batch = _as_global_batch(batch, mesh)
         loss_sum += float(eval_step(params, batch, aux))
         n += 1
     return loss_sum, n
+
+
+def _as_global_batch(batch, mesh):
+    """Assemble per-host batch shards into ONE global jax.Array batch
+    sharded over the mesh's ``data`` axis. Multi-host SPMD requires this
+    for EVERY collective launch (train and val): a host-local numpy arg
+    is treated as identical across hosts, which per-host loader shards
+    are not. No-op single-process or without a mesh. With gradient
+    accumulation the data axis is axis 1 (behind the microbatch axis)."""
+    if jax.process_count() <= 1 or mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    acc = batch.upper.ndim == 6  # (acc, batch, vars, levels, lat, lon)
+    spec = P(None, "data") if acc else P("data")
+    return type(batch)(*(
+        jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(a))
+        for a in batch
+    ))
 
 
 def _global_val_loss(loss_sum: float, n: int) -> float:
@@ -136,6 +149,7 @@ class Trainer:
             self.aux = jax.device_put(aux, NamedSharding(mesh, PartitionSpec()))
         else:
             self.aux = jax.device_put(aux)
+        self.mesh = mesh
         self.out_dir = out_dir
         self.writer = writer
         self.logger = logger or get_logger("pangu_tpu.train")
@@ -210,6 +224,10 @@ class Trainer:
             pending = None
             for batch, _periods in train_loader:
                 rng, step_rng = jax.random.split(rng)
+                # multi-host: per-host loader shards -> one global array
+                # (host-local numpy would be treated as replicated; no-op
+                # single-process)
+                batch = _as_global_batch(batch, self.mesh)
                 state, loss = self.train_step(state, batch, self.aux, step_rng)
                 if pending is not None:
                     consume(pending, n_batches - 1)

@@ -92,8 +92,14 @@ def main() -> None:
                             rng_key=jax.random.PRNGKey(0))
         results[name] = dt
 
-    spmd_case("dp8", ParallelConfig(data=8))
-    spmd_case("dp2_sp4", ParallelConfig(data=2, lat=2, lon=2))
+    # scale the SPMD layouts to --devices (hardcoding 8 would crash with
+    # fewer devices and silently under-use more, corrupting the relative
+    # comparison this script exists to produce)
+    D = args.devices
+    spmd_case(f"dp{D}", ParallelConfig(data=D))
+    if D % 4 == 0:
+        spmd_case(f"dp{D // 4}_sp4",
+                  ParallelConfig(data=D // 4, lat=2, lon=2))
 
     # PP x DP
     c = cfg.replace(parallel=ParallelConfig(data=args.devices // NUM_STAGES,
@@ -120,8 +126,8 @@ def main() -> None:
         "global_batch": B,
         "steps": args.steps,
         "seconds_per_step": {k: round(v, 4) for k, v in results.items()},
-        "relative_to_dp8": {k: round(v / results["dp8"], 3)
-                            for k, v in results.items()},
+        f"relative_to_dp{D}": {k: round(v / results[f"dp{D}"], 3)
+                               for k, v in results.items()},
         "gpipe_bubble_fraction": round((S - 1) / (M + S - 1), 3),
         "note": "virtual CPU mesh: schedule overhead only, not ICI",
     }

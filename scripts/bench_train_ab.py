@@ -29,7 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 
+VARIANTS = ("base", "noremat", "save_attn", "save_attn_mlp", "bf16_grads",
+            "fused_block", "unfused_block", "xla_mlp", "unfused_tail",
+            "xla_epilogue", "xla_tails")
+
+
 def run_variant(name: str) -> float:
+    # a typo'd name would silently measure the base config and report it
+    # under the wrong label — reject before spending device minutes
+    if name not in VARIANTS:
+        raise ValueError(f"unknown variant {name!r}; choose from {VARIANTS}")
     import jax
 
     import bench
@@ -57,60 +66,51 @@ def run_variant(name: str) -> float:
     cfg = pangu_pretrain(**kw)
 
     from pangu_tpu.ops import fused_block_train as fbt
+    from pangu_tpu.ops import fused_epilogue as fe
     from pangu_tpu.ops import fused_mlp as fm
 
-    fbt_orig = fbt._TRAIN_FUSION
-    if name == "fused_block":
-        # opt the rejected block-train megakernel back in (default off since
-        # the A/B loss recorded in docs/PERFORMANCE.md)
-        fbt._TRAIN_FUSION = True
-    if name in ("unfused_block", "xla_mlp", "unfused_tail", "xla_epilogue",
-                "xla_tails"):
-        # every pre-megakernel variant needs the block-train fusion off,
-        # or the switches below would never be reached
-        fbt._TRAIN_FUSION = False
-    if name == "xla_mlp":
-        # disable the raw fused-MLP custom_vjp: route Mlp through the XLA
-        # einsum chain (the pre-round-3 training path)
-        fm_orig = fm._use_pallas_mlp
-        fm._use_pallas_mlp = lambda x, rows, c: 0
-    if name == "unfused_tail":
-        # raw fused_mlp + unfused XLA LN/droppath/residual epilogue (the
-        # pre-postnorm-fusion round-3 path)
-        fm._POSTNORM_FUSION = False
-    if name in ("xla_epilogue", "xla_tails"):
-        # attention-side residual epilogue through the XLA chain instead of
-        # the fused_residual_postnorm Pallas kernels
-        from pangu_tpu.ops import fused_epilogue as fe
-
-        fe_orig = fe._use_pallas
-        fe._use_pallas = lambda x: False
-    if name == "xla_tails":
-        # both training-epilogue fusions off: the round-3 state before the
-        # postnorm-tail kernels (raw fused_mlp + XLA LN/droppath/residual)
-        fm._POSTNORM_FUSION = False
-    m = cfg.model
-    # device-resident aux/inputs: numpy args to a jitted step are
-    # re-uploaded (~350 MB) on EVERY timed call — avoidable noise in the
-    # paired A/B differences (same fix as bench.py main())
-    aux = jax.device_put(synthetic_aux_constants(m, cfg.train))
-    model = PanguModel(m)
-    upper, surface = bench._device_inputs(m)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface, aux)
+    # save/restore EVERY patched flag as a unit, and keep the whole
+    # setup+measure inside the try: a failure anywhere after patching
+    # (device_put, init, compile) must not leak a variant's fusion state
+    # into the next variant's measurement
+    origs = (fbt._TRAIN_FUSION, fm._use_pallas_mlp, fm._POSTNORM_FUSION,
+             fe._use_pallas)
     try:
-        value, _extra = bench.bench_train_step(cfg, model, aux, params, upper, surface)
-    finally:
-        fbt._TRAIN_FUSION = fbt_orig
+        if name == "fused_block":
+            # opt the rejected block-train megakernel back in (default off
+            # since the A/B loss recorded in docs/PERFORMANCE.md)
+            fbt._TRAIN_FUSION = True
+        if name in ("unfused_block", "xla_mlp", "unfused_tail",
+                    "xla_epilogue", "xla_tails"):
+            # every pre-megakernel variant needs the block-train fusion off,
+            # or the switches below would never be reached
+            fbt._TRAIN_FUSION = False
         if name == "xla_mlp":
-            fm._use_pallas_mlp = fm_orig
-        if name == "unfused_tail":
-            fm._POSTNORM_FUSION = True
-        if name == "xla_tails":
-            fm._POSTNORM_FUSION = True
+            # disable the raw fused-MLP custom_vjp: route Mlp through the
+            # XLA einsum chain (the pre-round-3 training path)
+            fm._use_pallas_mlp = lambda x, rows, c: 0
+        if name in ("unfused_tail", "xla_tails"):
+            # raw fused_mlp + unfused XLA LN/droppath/residual epilogue (the
+            # pre-postnorm-fusion round-3 path)
+            fm._POSTNORM_FUSION = False
         if name in ("xla_epilogue", "xla_tails"):
-            from pangu_tpu.ops import fused_epilogue as fe
-
-            fe._use_pallas = fe_orig
+            # attention-side residual epilogue through the XLA chain instead
+            # of the fused_residual_postnorm Pallas kernels
+            fe._use_pallas = lambda x: False
+        m = cfg.model
+        # device-resident aux/inputs: numpy args to a jitted step are
+        # re-uploaded (~350 MB) on EVERY timed call — avoidable noise in the
+        # paired A/B differences (same fix as bench.py main())
+        aux = jax.device_put(synthetic_aux_constants(m, cfg.train))
+        model = PanguModel(m)
+        upper, surface = bench._device_inputs(m)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), upper, surface,
+                                     aux)
+        value, _extra = bench.bench_train_step(cfg, model, aux, params,
+                                               upper, surface)
+    finally:
+        (fbt._TRAIN_FUSION, fm._use_pallas_mlp, fm._POSTNORM_FUSION,
+         fe._use_pallas) = origs
     return value
 
 

@@ -45,7 +45,8 @@ def main() -> None:
 
     aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, cfg.horizon)
     model, params = load_model_and_params(cfg, args, aux)
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = ([s.strip() for s in args.platforms.split(",") if s.strip()]
+                 if args.platforms else None)
 
     logger.info("exporting forecast step (horizon %dh, batch %d) -> %s",
                 cfg.horizon, args.batch, args.out_file)

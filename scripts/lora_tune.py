@@ -20,7 +20,7 @@ from pangu_tpu.cli import base_parser, build_config, load_model_and_params
 from pangu_tpu.data import make_loader
 from pangu_tpu.eval import evaluate
 from pangu_tpu.interop.npz_io import load_params_npz, save_params_npz
-from pangu_tpu.parallel import distributed_init, is_main
+from pangu_tpu.parallel import activate_mesh, distributed_init, is_main, make_mesh
 from pangu_tpu.train.lora import (
     LoraConfig,
     changed_param_report,
@@ -90,27 +90,37 @@ def main() -> None:
                                    per_host_batch,
                                    num_shards=jax.process_count(),
                                    shard=jax.process_index())
-        val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1)
+        # per-process val shard (same as finetune.py): lockstep multi-host
+        # validation needs equal launch counts on every host
+        val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1,
+                                 num_shards=jax.process_count(),
+                                 shard=jax.process_index())
 
-        trainer = Trainer(
-            cfg, model, aux, out_dir, writer=writer, logger=logger,
-            steps_per_epoch=len(train_loader),
-            train_step_fn=lambda opt: make_lora_train_step(
-                model, cfg, opt, base_params, lcfg,
-                unmerged=args.unmerged),
-            eval_step_fn=make_lora_eval_step(model, cfg, base_params, lcfg),
-        )
+        # mesh for data parallelism: replicated adapters + data-sharded
+        # global batches make GSPMD emit the gradient all-reduce — without
+        # it each host would silently train an independent adapter
+        mesh = make_mesh(cfg.parallel) if jax.device_count() > 1 else None
+        with activate_mesh(mesh):
+            trainer = Trainer(
+                cfg, model, aux, out_dir, writer=writer, logger=logger,
+                steps_per_epoch=len(train_loader),
+                train_step_fn=lambda opt: make_lora_train_step(
+                    model, cfg, opt, base_params, lcfg,
+                    unmerged=args.unmerged),
+                eval_step_fn=make_lora_eval_step(model, cfg, base_params,
+                                                 lcfg),
+            )
 
-        state = TrainState(trainable, trainer.optimizer.init(trainable),
-                           jnp.zeros((), jnp.int32))
-        start_epoch = 1
-        if args.resume:
-            state, start_epoch = trainer.resume(template=state)
-            logger.info("resumed at epoch %d", start_epoch)
+            state = TrainState(trainable, trainer.optimizer.init(trainable),
+                               jnp.zeros((), jnp.int32))
+            start_epoch = 1
+            if args.resume:
+                state, start_epoch = trainer.resume(template=state)
+                logger.info("resumed at epoch %d", start_epoch)
 
-        best_trainable, state = trainer.fit(train_loader, val_loader,
-                                            start_epoch=start_epoch,
-                                            state=state)
+            best_trainable, state = trainer.fit(train_loader, val_loader,
+                                                start_epoch=start_epoch,
+                                                state=state)
         trainable = best_trainable
         if is_main():
             save_params_npz(os.path.join(out_dir, "lora_best.npz"), trainable)

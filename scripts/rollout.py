@@ -81,7 +81,10 @@ def main() -> None:
                  (3, args.weights_3), (1, args.weights_1)):
         if w is not None and h not in bundles:
             hcfg = cfg.replace(horizon=h)
-            bundles[h] = _bundle_for(hcfg, args, aux, h, w)
+            # aux is horizon-keyed (constantMask{h}.npy, the horizon's land
+            # mask — pangu_tpu/aux.py); each bundle must load its own
+            h_aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, h)
+            bundles[h] = _bundle_for(hcfg, args, h_aux, h, w)
 
     if args.mode == "iterative":
         missing = [h for h in (24, 6, 3, 1) if h not in bundles]
@@ -100,8 +103,16 @@ def main() -> None:
         return
 
     rule = mix24_rule(cfg.horizon) if args.mode == "mix24" else None
-    if args.mode == "mix24" and 24 not in bundles:
-        raise SystemExit("--mode mix24 needs --weights-24 (and --weights-6 for 3h base)")
+    if args.mode == "mix24":
+        # validate up front: the rule may select any of these horizons and
+        # multi_output_rollout looks bundles up unguarded — a missing one
+        # would KeyError minutes into the rollout
+        need = {24} | ({6} if cfg.horizon == 3 else set())
+        missing = sorted(need - set(bundles))
+        if missing:
+            raise SystemExit(
+                f"--mode mix24 with base {cfg.horizon}h needs weights for "
+                f"horizons {missing} (--weights-24 / --weights-6)")
     score_bundle = (
         _bundle_for(cfg, args, aux, cfg.horizon, args.score_weights)
         if args.score_weights else None
