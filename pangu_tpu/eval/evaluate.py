@@ -104,7 +104,8 @@ def write_score_tables(csv_path: str, rmse_scores, acc_scores, cfg: PanguConfig)
 def make_score_step(
     model: PanguModel, cfg: PanguConfig, return_fields: bool = False
 ) -> Callable:
-    """(params, batch, aux) -> dict of scalars/arrays for one sample batch.
+    """(params, batch, aux) -> score dict; every array has a leading batch
+    axis (one score row per sample), ``loss`` is the batch-mean scalar.
 
     ``return_fields`` additionally returns the de-normalized predicted fields
     (for visualization) at the cost of the device->host transfer."""
@@ -123,15 +124,16 @@ def make_score_step(
         # physical units for scoring (reference models/pangu_sample.py:479-480)
         out_u, out_s = norm_back_data(out_u, out_s, aux)
 
-        # squeeze batch (test batch size is 1, reference era5_data/config.py:74)
-        ou, os_ = out_u[0], out_s[0]
-        tu, ts = batch.target_upper[0], batch.target_surface[0]
-
+        # score EVERY batch sample (leading axis = batch): the reference only
+        # ever runs this at batch 1 (era5_data/config.py:74), but a larger
+        # eval batch must not silently drop samples 1..B-1 — the rollout
+        # engine got this rule first (rollout/engines.py single_output_eval)
         out = {"loss": loss}
-        out.update(score_fields(ou, os_, tu, ts, aux))
+        out.update(jax.vmap(score_fields, in_axes=(0, 0, 0, 0, None))(
+            out_u, out_s, batch.target_upper, batch.target_surface, aux))
         if return_fields:
-            out["output_upper"] = ou
-            out["output_surface"] = os_
+            out["output_upper"] = out_u
+            out["output_surface"] = out_s
         return out
 
     return score
@@ -165,13 +167,14 @@ def evaluate(
     total_loss, n = 0.0, 0
     for batch, periods in loader:
         out = jax.device_get(step(params, batch, aux))
-        target_time = periods[0][1]
         total_loss += float(out["loss"])
         n += 1
-        for f in families_rmse:
-            rmse_scores[f][target_time] = out[f"rmse_{f}"]
-        for f in families_acc:
-            acc_scores[f][target_time] = out[f"acc_{f}"]
+        # one score row PER SAMPLE, keyed by that sample's target time
+        for i, (_, target_time) in enumerate(periods):
+            for f in families_rmse:
+                rmse_scores[f][target_time] = out[f"rmse_{f}"][i]
+            for f in families_acc:
+                acc_scores[f][target_time] = out[f"acc_{f}"][i]
 
         if visualize:
             from pangu_tpu.eval import visualize as viz
@@ -193,14 +196,14 @@ def evaluate(
                 else [str(i) for i in range(cfg.model.surface_vars)]
             )
             viz.plot_upper(
-                out["output_upper"], np.asarray(batch.target_upper[0]),
+                out["output_upper"][0], np.asarray(batch.target_upper[0]),
                 np.asarray(batch.upper[0]), names_u[-1], cfg.model.levels // 2,
-                target_time, png_path, var_names=names_u,
+                periods[0][1], png_path, var_names=names_u,
             )
             viz.plot_surface(
-                out["output_surface"], np.asarray(batch.target_surface[0]),
-                np.asarray(batch.surface[0]), names_s[1], target_time, png_path,
-                var_names=names_s,
+                out["output_surface"][0], np.asarray(batch.target_surface[0]),
+                np.asarray(batch.surface[0]), names_s[1], periods[0][1],
+                png_path, var_names=names_s,
             )
 
     csv_path = os.path.join(res_path, "csv")

@@ -6,6 +6,7 @@ from pangu_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     maybe_shard,
     record_shardings,
+    resolve_mesh,
 )
 from pangu_tpu.parallel.sharding import (  # noqa: F401
     batch_spec,

@@ -173,6 +173,47 @@ def infer_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return make_mesh(ParallelConfig(data=len(devices)), devices)
 
 
+def resolve_mesh(
+    cfg: ParallelConfig, devices: Optional[Sequence[jax.Device]] = None
+) -> Optional[Mesh]:
+    """Entry-point mesh policy: never silently waste attached devices.
+
+    The reference auto-uses every GPU via torchrun (train.sh:69); the
+    equivalent here is that a DEFAULT (1x1x1x1) parallel config on a
+    multi-device host auto-expands to pure data parallelism over all
+    devices (:func:`infer_mesh`). An EXPLICIT config that covers fewer than
+    the attached devices is honored but warned about — devices outside the
+    mesh idle for the whole run. Returns None on a single device (the
+    annotation-free single-chip path)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_cfg = cfg.data * cfg.pipe * cfg.lat * cfg.lon
+    import logging
+
+    log = logging.getLogger("pangu_tpu")
+    if len(devices) == 1:
+        if n_cfg > 1:
+            # make_mesh would raise; say what to do instead
+            raise ValueError(
+                f"parallel config asks for {n_cfg} devices "
+                f"({cfg.data}x{cfg.pipe}x{cfg.lat}x{cfg.lon}) but only 1 is "
+                f"attached — drop the parallel.* overrides for single-chip "
+                f"runs")
+        return None
+    if n_cfg == 1:
+        log.info(
+            "parallel config covers 1 device but %d are attached — using a "
+            "data-parallel mesh over all of them (set parallel.data/lat/lon "
+            "to choose a different layout)", len(devices))
+        return infer_mesh(devices)
+    if n_cfg < len(devices):
+        log.warning(
+            "parallel config %dx%dx%dx%d covers only %d of %d attached "
+            "devices — the other %d will IDLE for the whole run",
+            cfg.data, cfg.pipe, cfg.lat, cfg.lon, n_cfg, len(devices),
+            len(devices) - n_cfg)
+    return make_mesh(cfg, devices)
+
+
 # ---------------------------------------------------------------------------
 # Active-mesh context: lets model code annotate shardings without plumbing
 # the mesh through every module.

@@ -176,9 +176,12 @@ class Trainer:
 
         is_main = jax.process_index() == 0
         best_loss = float("inf")
-        # train_step donates the state, which deletes any aliased buffers —
-        # best_params must be a copy (or None -> fall back to final params).
-        best_params = None
+        # The best params live on DISK (the collective `best` checkpoint),
+        # not as a device-resident copy: a full best-params clone pinned
+        # ~1.1 GB of HBM at flagship f32 on top of params+moments (round-3
+        # verdict #7). They are restored once, after the loop, with the
+        # final params as the sharding template.
+        have_best = False
         stale_epochs = 0
 
         bad_steps = 0
@@ -267,10 +270,11 @@ class Trainer:
                     )
                 if val_loss < best_loss:
                     best_loss = val_loss
-                    best_params = jax.tree.map(jnp.copy, state.params)
-                    # collective save — all processes participate (above)
+                    # collective save — all processes participate (above);
+                    # doubles as the in-memory best copy (restored below)
                     ckpt.save_params(f"{self.out_dir}/models", state.params,
                                      "best")
+                    have_best = True
                     self.logger.info("current best model is saved at %d epoch.", epoch)
                     stale_epochs = 0
                 else:
@@ -282,7 +286,13 @@ class Trainer:
                         )
                         break
 
-        return (best_params if best_params is not None else state.params), state
+        if not have_best:
+            return state.params, state
+        # restore onto the final params' shardings (collective, multi-host
+        # safe — every process reads its addressable shards)
+        best_params = ckpt.restore_params(f"{self.out_dir}/models",
+                                          state.params, "best")
+        return best_params, state
 
     # ------------------------------------------------------------------
     def resume(

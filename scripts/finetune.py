@@ -17,7 +17,7 @@ from pangu_tpu.aux import load_aux_constants
 from pangu_tpu.cli import base_parser, build_config, load_model_and_params
 from pangu_tpu.data import make_loader
 from pangu_tpu.eval import evaluate
-from pangu_tpu.parallel import activate_mesh, distributed_init, is_main, make_mesh
+from pangu_tpu.parallel import activate_mesh, distributed_init, is_main, resolve_mesh
 from pangu_tpu.parallel.sharding import shard_params, zero_shard_opt_state
 from pangu_tpu.train.step import TrainState
 from pangu_tpu.train.trainer import Trainer, init_train_state
@@ -43,7 +43,9 @@ def main() -> None:
     model, params = load_model_and_params(cfg, args, aux)
     logger.info("model parameters: %s", f"{param_count(params):,}")
 
-    mesh = make_mesh(cfg.parallel) if jax.device_count() > 1 else None
+    # resolve_mesh auto-expands a default config to all attached devices and
+    # warns when an explicit config leaves devices idle
+    mesh = resolve_mesh(cfg.parallel)
     n_hosts = jax.process_count()
     per_host_batch = max(1, cfg.train.batch_size // max(1, n_hosts))
 

@@ -20,7 +20,7 @@ from pangu_tpu.cli import base_parser, build_config, load_model_and_params
 from pangu_tpu.data import make_loader
 from pangu_tpu.eval import evaluate
 from pangu_tpu.interop.npz_io import load_params_npz, save_params_npz
-from pangu_tpu.parallel import activate_mesh, distributed_init, is_main, make_mesh
+from pangu_tpu.parallel import activate_mesh, distributed_init, is_main, resolve_mesh
 from pangu_tpu.train.lora import (
     LoraConfig,
     changed_param_report,
@@ -99,7 +99,7 @@ def main() -> None:
         # mesh for data parallelism: replicated adapters + data-sharded
         # global batches make GSPMD emit the gradient all-reduce — without
         # it each host would silently train an independent adapter
-        mesh = make_mesh(cfg.parallel) if jax.device_count() > 1 else None
+        mesh = resolve_mesh(cfg.parallel)
         with activate_mesh(mesh):
             trainer = Trainer(
                 cfg, model, aux, out_dir, writer=writer, logger=logger,

@@ -68,6 +68,39 @@ def test_evaluate_writes_scores(tmp_path):
     assert any(p.endswith(".png") for p in pngs)
 
 
+def test_evaluate_scores_every_batch_sample(tmp_path):
+    """At eval batch > 1, EVERY sample must land in the score tables —
+    scoring only batch element 0 silently dropped half the test set
+    (round-3 verdict; reference models/pangu_sample.py only runs batch 1)."""
+    cfg = pangu_tiny().replace(
+        data=DataConfig(
+            test_start="20180101", test_end="20180106", test_freq="24h",
+            prefetch=0,
+        ),
+    )
+    aux = synthetic_aux_constants(cfg.model, cfg.train)
+    model = PanguModel(cfg.model)
+    m = cfg.model
+    upper = np.zeros((1, m.upper_vars, m.levels, m.lat, m.lon), np.float32)
+    surface = np.zeros((1, m.surface_vars, m.lat, m.lon), np.float32)
+    params = model.init(jax.random.PRNGKey(0), upper, surface, aux)
+
+    loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, batch_size=2)
+    n_samples = len(loader) * 2
+    assert len(loader) == 2  # 4 samples -> 2 full batches of 2
+    loss = evaluate(model, params, loader, aux, cfg, str(tmp_path))
+    assert np.isfinite(loss)
+
+    csv = os.path.join(tmp_path, "csv")
+    df = load_error_scores(csv, "rmse", "upper_z")
+    # one row per SAMPLE (distinct target times), not per batch
+    assert df.shape[0] == n_samples
+    assert df.index.nunique() == n_samples
+    # different targets score differently — catches broadcasting one
+    # sample's scores across the batch
+    assert not np.allclose(df.values[0], df.values[1])
+
+
 def test_evaluate_empty_window_is_loud_nan(tmp_path, caplog):
     """A test range too narrow to contain any (input, +horizon target) pair
     must NOT read as a perfect 0.0 test loss — it returns NaN and warns."""

@@ -391,3 +391,38 @@ def test_distributed_init_env_gating(monkeypatch):
 
     distributed_init("10.0.0.1:1234", 2, 0)  # explicit args pass through
     assert calls[2] == ("10.0.0.1:1234", 2, 0)
+
+
+def test_resolve_mesh_policy(caplog):
+    """Entry-point mesh resolution (round-3 verdict #6): a default parallel
+    config must auto-expand to all attached devices; an explicit config that
+    leaves devices idle must warn; single-device stays mesh-free."""
+    from pangu_tpu.parallel import resolve_mesh
+
+    _need_devices(8)
+    devices = jax.devices()
+
+    # default 1x1x1x1 config on a multi-device host -> pure DP over all
+    mesh = resolve_mesh(ParallelConfig(), devices)
+    assert mesh is not None and mesh.shape["data"] == len(devices)
+
+    # explicit config covering fewer devices -> honored, but loud
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="pangu_tpu"):
+        mesh = resolve_mesh(ParallelConfig(data=2), devices)
+    assert mesh.shape["data"] == 2
+    assert any("IDLE" in r.getMessage() for r in caplog.records)
+
+    # explicit config covering everything -> no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="pangu_tpu"):
+        mesh = resolve_mesh(ParallelConfig(data=4, lat=2), devices)
+    assert dict(mesh.shape) == {"data": 4, "pipe": 1, "lat": 2, "lon": 1}
+    assert not caplog.records
+
+    # single device: no mesh (annotation-free path)...
+    assert resolve_mesh(ParallelConfig(), devices[:1]) is None
+    # ...and an impossible explicit config fails with advice
+    with pytest.raises(ValueError, match="only 1 is"):
+        resolve_mesh(ParallelConfig(data=2), devices[:1])

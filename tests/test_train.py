@@ -134,6 +134,14 @@ def test_trainer_fit_and_early_stop(setup, tmp_path):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+    # best params come back from the collective `best` checkpoint (no
+    # device-resident second copy is kept during training) and match it
+    from pangu_tpu.train import checkpoint as ckpt_mod
+
+    best_disk = ckpt_mod.restore_params(
+        os.path.join(tmp_path, "models"), state.params, "best")
+    for a, b in zip(jax.tree.leaves(best), jax.tree.leaves(best_disk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_resume_shuffle_continuity(setup):
