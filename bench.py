@@ -15,29 +15,39 @@ The reference publishes no speed numbers; the driver's north-star target is
 < 1 s per 24h step (BASELINE.md), used as the baseline for ``vs_baseline``
 (ratio > 1 means faster than target).
 
-Output protocol (both lines are valid driver metric lines; parsers that take
-the FIRST JSON line get the forward metric, parsers that take the LAST line
-get the same metric with the train-step time merged in):
+Phase ORDER: the train step is compiled/warmed/timed FIRST, the forecast
+rollout second. Round 3's artifact lost the train number the other way
+around: a source change since the cache was last primed made the rollout
+compile+warm cold (~660 s through the tunnel) and the train phase was
+skipped with "-274s left in budget". The forward number had already been
+captured in rounds 1-3; the train number is the one the artifact must not
+lose again. Each phase runs on a budget-bounded worker thread (a blocked
+device call cannot be interrupted — the bound guarantees the artifact).
 
-  1. The forward metric is printed AND FLUSHED the moment it is measured:
-       {"metric": "fwd_step_time_s", "value": ..., "unit": "s",
-        "vs_baseline": ..., "device_kind": ...}
-  2. The train bench then runs IN-PROCESS on a worker thread (reusing the
-     already-initialized backend, model and params — a subprocess pays
-     backend re-init plus a full re-trace, minutes of the budget, and was
-     measured reading 3x slower than the same program in-process), bounded
-     by what remains of the overall budget (``PANGU_BENCH_BUDGET`` seconds,
-     default 480). A final merged line always prints within the budget:
-       {... same keys ..., "train_step_time_s": ..., ...}
-     If the train phase is still blocked when the budget runs out, the
-     merged line reports train_step_time_s=null with the reason and the
-     process force-exits (a blocked device call cannot be interrupted).
+Output protocol (every line is a valid driver metric line; the driver
+takes the LAST one — verified against BENCH_r03.json):
 
-This ordering exists because round 2's artifact was lost: the bench printed
-exactly one line at the very end, after a train subprocess with a fixed
-1500 s timeout, and the driver's harness killed the whole process (rc=124)
-before anything was flushed. A bench that measures but never reports is a
-failed bench.
+  1. An insurance line flushes the moment the train phase resolves:
+       {"metric": "train_step_time_s", "value": ..., "unit": "s",
+        "train_step_time_s": ..., "train_mfu": ..., "device_kind": ...}
+  2. The forward phase then compiles the rollout (pre-lowered on a
+     background host thread during the train phase) and a final merged
+     line always prints within the budget (``PANGU_BENCH_BUDGET`` seconds,
+     default 480):
+       {"metric": "fwd_step_time_s", "value": ..., "vs_baseline": ...,
+        "fwd_mfu": ..., "train_step_time_s": ..., "train_mfu": ...}
+     If the forward phase dies or runs out of budget, the final line keeps
+     the train metric as its headline, with the forward failure reason.
+
+MFU fields use the analytic matmul-FLOP counter (pangu_tpu/utils/flops.py,
+trace-exact, tests/test_flops.py) against the device's published bf16 peak:
+whole-step MFU, elementwise/softmax work uncounted, remat recompute
+uncounted (train MFU therefore slightly understates hardware utilization).
+
+Round 2's lesson also stands: the bench printed exactly one line at the
+very end, after a train subprocess with a fixed 1500 s timeout, and the
+driver's harness killed the whole process (rc=124) before anything was
+flushed. A bench that measures but never reports is a failed bench.
 
 When the tunnel is too sick for paired-difference timing (see
 _robust_step_time), a metric may carry ``timing_degraded: true`` /
@@ -84,7 +94,8 @@ def _enable_compile_cache() -> None:
 
 
 def _robust_step_time(timed, k_short: int, k_long: int, reps: int,
-                      min_reps: int, reserve: float, progress: dict = None):
+                      min_reps: int, reserve: float, progress: dict = None,
+                      deadline: float = None):
     """Per-step seconds from paired two-length timings, robust to a sick
     tunnel.
 
@@ -119,6 +130,13 @@ def _robust_step_time(timed, k_short: int, k_long: int, reps: int,
         if len(diffs) >= min_reps and _budget_remaining() < reserve:
             _note(f"timing: stopping after {len(diffs)} pairs "
                   f"(budget reserve {reserve:.0f}s)")
+            break
+        # the caller's join(timeout) has already fired past the deadline:
+        # stop dispatching device work so a leaked timing thread cannot
+        # pollute the NEXT phase's measurements (min_reps does not apply —
+        # the caller is no longer listening, progress[] has what there is)
+        if deadline is not None and time.monotonic() > deadline:
+            _note(f"timing: phase deadline passed after {len(diffs)} pairs")
             break
     diffs.sort()
     value = diffs[len(diffs) // 2]
@@ -163,26 +181,171 @@ def _start_watchdog() -> None:
     threading.Thread(target=beat, daemon=True).start()
 
 
+def _make_rollout(model):
+    """The jitted K-step autoregressive rollout program.
+
+    aux is an ARGUMENT (closed-over full-geometry arrays become inlined
+    literals and can push the program past the remote-compile size cap).
+    `steps` is a TRACED scalar driving a fori_loop, so every rollout
+    length shares ONE compiled program — cold runs pay one full-geometry
+    compile instead of two, warm runs deserialize one cache entry."""
+    import jax
+    import jax.numpy as jnp
+
+    from pangu_tpu.aux import norm_back_data
+
+    @jax.jit
+    def rollout(params, upper, surface, aux, steps):
+        def step(_, carry):
+            u, s = carry
+            ou, os_ = model.apply(params, u, s, aux, True)
+            ou, os_ = norm_back_data(ou, os_, aux)
+            return (ou, os_)
+
+        u, s = jax.lax.fori_loop(0, steps, step, (upper, surface))
+        # scalar summary so timing includes no bulk device->host transfer
+        return jnp.sum(u[:, 0, 0, ::360, ::360]) + jnp.sum(s[:, 0, ::360, ::360])
+
+    return rollout
+
+
+def _start_rollout_prelower(model, params, upper, surface, aux):
+    """Trace+lower the rollout program on a daemon thread — PURE HOST work
+    (lowering reads avals only, no device dispatch), so it safely overlaps
+    the train phase's device compiles and timed runs. Returns (event, box);
+    box gets "lowered" or "error"."""
+    import threading
+
+    import numpy as np
+
+    box: dict = {}
+    done = threading.Event()
+
+    def work():
+        t0 = time.monotonic()
+        try:
+            roll = _make_rollout(model)
+            box["lowered"] = roll.lower(params, upper, surface, aux,
+                                        np.int32(1))
+        except Exception as e:  # noqa: BLE001 — surfaced by the fwd phase
+            box["error"] = f"{type(e).__name__}: {e}"[:300]
+        _note(f"rollout pre-lowered in background "
+              f"({time.monotonic() - t0:.0f}s)")
+        done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    return done, box
+
+
+def _fwd_metric_inprocess(roll_done, roll_box, params, upper, surface,
+                          aux) -> dict:
+    """Forward (rollout) timing on a budget-bounded worker thread. Returns
+    {"fwd_step_time_s": value|None, ...} fields; never raises, never blocks
+    past the remaining budget."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    timeout = _budget_remaining() - 10.0
+    if timeout <= 20:
+        return {"fwd_step_time_s": None,
+                "fwd_error": f"skipped: {timeout:.0f}s left in budget"}
+    _note(f"forward bench, budget {timeout:.0f}s")
+
+    box: dict = {}
+    progress: dict = {}
+    deadline = time.monotonic() + timeout
+
+    def work():
+        try:
+            roll_done.wait()
+            if "error" in roll_box:
+                raise RuntimeError(
+                    f"rollout pre-lowering failed: {roll_box['error']}")
+            _note("compile rollout (cached executable load)")
+            compiled = roll_box["lowered"].compile()
+
+            def run_k(k):
+                return float(compiled(params, upper, surface, aux,
+                                      jnp.asarray(k, jnp.int32)))
+
+            def timed(k):
+                t0 = time.perf_counter()
+                run_k(k)
+                return time.perf_counter() - t0
+
+            # 5/25: the dress-rehearsal showed 5/45 x 4 reps spending ~184 s
+            # in the timing block alone (steps x ~0.18 s + a tunnel round
+            # trip per dispatch) out of a 480 s budget.
+            _note("warm rollout (single dynamic-length program)")
+            run_k(1)
+            _note("timing forward")
+            value, extra = _robust_step_time(
+                timed, 5, 25,
+                reps=int(os.environ.get("PANGU_BENCH_FWD_REPS", "5")),
+                min_reps=2, reserve=15.0, progress=progress,
+                deadline=deadline)
+            box["fwd_step_time_s"] = round(value, 5)
+            # fwd extras keep their bare round-1..3 names
+            # (timing_degraded, paired_diff_step_time_s)
+            box.update(extra)
+        except Exception as e:  # noqa: BLE001 — reported in the artifact
+            box["fwd_step_time_s"] = None
+            box["fwd_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        if progress.get("floors"):
+            return {"fwd_step_time_s": round(min(progress["floors"]), 5),
+                    "timing_degraded": True,
+                    "fwd_error":
+                        f"budget cut at {len(progress['floors'])} pairs; "
+                        f"value is the t(k_long)/k_long upper bound"}
+        return {"fwd_step_time_s": None,
+                "fwd_error": f"still running at budget ({timeout:.0f}s)"}
+    return box
+
+
 def main() -> None:
     _start_watchdog()
     import jax
-    import jax.numpy as jnp
+
+    # the environment's TPU plugin re-inserts itself into jax_platforms at
+    # import (ignoring JAX_PLATFORMS), so the CPU rehearsal needs an
+    # explicit config pin (same workaround as tests/conftest.py)
+    plat = os.environ.get("PANGU_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     _enable_compile_cache()
 
     _note("initializing device backend")
     _note(f"backend: {jax.default_backend()} x{len(jax.devices())}")
 
-    from pangu_tpu.aux import norm_back_data, synthetic_aux_constants
-    from pangu_tpu.config import pangu_pretrain
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_pretrain, pangu_tiny
     from pangu_tpu.model import PanguModel
+    from pangu_tpu.utils.flops import (
+        forward_matmul_flops,
+        mfu,
+        train_matmul_flops,
+    )
 
-    cfg = pangu_pretrain(
-        horizon=24,
+    kw = dict(
         compute_dtype="bfloat16",
         matmul_precision="default",
         use_pallas_attention=jax.default_backend() == "tpu",
     )
+    if os.environ.get("PANGU_BENCH_TINY"):
+        # end-to-end rehearsal of the whole bench flow (both phases, all
+        # threads, the output protocol) in seconds on CPU — numbers are
+        # meaningless, the artifact shape is what's being checked
+        cfg = pangu_tiny(**kw)
+    else:
+        cfg = pangu_pretrain(horizon=24, **kw)
     m = cfg.model
     # device_put ONCE: numpy aux (~66 MB) passed as a jit argument is
     # re-uploaded on EVERY call — seconds of per-call overhead and the
@@ -200,93 +363,84 @@ def main() -> None:
 
     # train-state construction allocates ~2x the params tree of Adam moments
     # ON DEVICE (optax init) — do it HERE, serially, so the background
-    # pre-lower thread below stays pure-host and never dispatches device
-    # work concurrently with the timed forward rollouts
+    # rollout pre-lower thread below stays pure-host
     _note("init train state (Adam moments)")
     objs = _make_train_objects(cfg, model, aux, params, upper, surface)
 
-    # tracing+lowering the train program is minutes of pure host work —
-    # overlap it with the entire forward phase (device untouched until the
-    # train phase compiles/loads the executable)
-    prep_done, prep_box = _start_train_prelower(cfg, objs)
+    device_kind = jax.devices()[0].device_kind
+    fwd_flops = forward_matmul_flops(m, batch=1)["total"]
+    train_flops = train_matmul_flops(m, batch=1)
 
-    # aux is an ARGUMENT (closed-over full-geometry arrays become inlined
-    # literals and can push the program past the remote-compile size cap).
-    # `steps` is a TRACED scalar driving a fori_loop, so every rollout
-    # length shares ONE compiled program — cold runs pay one full-geometry
-    # compile instead of two, warm runs deserialize one cache entry.
-    @jax.jit
-    def rollout(params, upper, surface, aux, steps):
-        def step(_, carry):
-            u, s = carry
-            ou, os_ = model.apply(params, u, s, aux, True)
-            ou, os_ = norm_back_data(ou, os_, aux)
-            return (ou, os_)
+    # tracing+lowering the rollout program is pure host work — overlap it
+    # with the entire train phase (device untouched until the forward
+    # phase compiles/loads the executable)
+    roll_done, roll_box = _start_rollout_prelower(
+        model, params, upper, surface, aux)
 
-        u, s = jax.lax.fori_loop(0, steps, step, (upper, surface))
-        # scalar summary so timing includes no bulk device->host transfer
-        return jnp.sum(u[:, 0, 0, ::360, ::360]) + jnp.sum(s[:, 0, ::360, ::360])
-
-    # Difference of two rollout lengths cancels the host<->device round-trip
-    # cost (seconds, and noisy, through tunneled devices), leaving per-step
-    # device time. Median of PAIRED differences (see bench_train_step for
-    # why), both lengths running the same compiled program.
-    def run_k(k):
-        return float(rollout(params, upper, surface, aux,
-                             jnp.asarray(k, jnp.int32)))
-
-    def timed(k):
-        t0 = time.perf_counter()
-        run_k(k)
-        return time.perf_counter() - t0
-
-    # 5/25: the dress-rehearsal showed 5/45 x 4 reps spending ~184 s in the
-    # timing block alone (steps x ~0.18 s + a tunnel round trip per
-    # dispatch), starving the train phase out of a 480 s budget.
-    k_short, k_long = 5, 25
-    _note("compile+warm rollout (single dynamic-length program)")
-    run_k(1)
-    _note("timing forward")
-    value, extra = _robust_step_time(
-        timed, k_short, k_long,
-        reps=int(os.environ.get("PANGU_BENCH_FWD_REPS", "5")),
-        min_reps=2, reserve=150.0)
-
-    result = {
-        "metric": "fwd_step_time_s",
-        "value": round(value, 5),
+    # ---- TRAIN PHASE FIRST (see module docstring: round 3 lost this
+    # number to a cold rollout warm) ----
+    fwd_reserve = float(os.environ.get("PANGU_BENCH_FWD_RESERVE", "150"))
+    train_fields = _train_metric_inprocess(
+        cfg, model, aux, params, upper, surface, objs=objs,
+        reserve=fwd_reserve)
+    tr = train_fields.get("train_step_time_s")
+    if tr:
+        u = mfu(train_flops, tr, device_kind)
+        if u is not None:
+            train_fields["train_mfu"] = round(u, 4)
+    # Insurance line: if the forward phase dies, the driver's last-line
+    # parse still carries the train metric.
+    insurance = {
+        "metric": "train_step_time_s",
+        "value": tr,
         "unit": "s",
-        "vs_baseline": round(BASELINE_S / value, 4),
-        # the tunnel may attach each process to a different chip — record
-        # which one produced each number
-        "device_kind": jax.devices()[0].device_kind,
-        **extra,
+        "device_kind": device_kind,
+        **train_fields,
     }
-    # FLUSH the primary metric NOW — the train bench below must never be able
-    # to take the forward number down with it.
-    print(json.dumps(result), flush=True)
+    print(json.dumps(insurance), flush=True)
 
-    result.update(
-        _train_metric_inprocess(cfg, model, aux, params, upper, surface,
-                                prep_done, prep_box))
+    # ---- FORWARD PHASE ----
+    fwd_fields = _fwd_metric_inprocess(
+        roll_done, roll_box, params, upper, surface, aux)
+    fv = fwd_fields.get("fwd_step_time_s")
+    if fv:
+        u = mfu(fwd_flops, fv, device_kind)
+        if u is not None:
+            fwd_fields["fwd_mfu"] = round(u, 4)
+        result = {
+            "metric": "fwd_step_time_s",
+            "value": fv,
+            "unit": "s",
+            "vs_baseline": round(BASELINE_S / fv, 4),
+            # the tunnel may attach each process to a different chip —
+            # record which one produced each number
+            "device_kind": device_kind,
+            **fwd_fields,
+            **train_fields,
+        }
+    else:
+        # forward failed: keep the train metric as the headline
+        result = {**insurance, **fwd_fields}
     print(json.dumps(result), flush=True)
-    # a blocked/hung device call on the worker thread cannot be joined;
+    # a blocked/hung device call on a worker thread cannot be joined;
     # the artifact is complete, leave unconditionally
     os._exit(0)
 
 
 def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
-                            prep_done=None, prep_box=None) -> dict:
+                            objs=None, reserve=15.0) -> dict:
     """Train-step timing on a worker THREAD in this process, bounded by the
-    remaining overall budget.
+    remaining overall budget minus ``reserve`` (seconds kept back for the
+    forward phase that runs after it).
 
     In-process reuses the live backend, the built model and the initialized
     params — a subprocess re-pays backend init plus a full re-trace (minutes)
     and, measured head-to-head, read ~3x slower than the identical program
-    timed in-process (2.18 vs 0.72 s/step, same chip kind, same night). The
-    fwd metric is already flushed, so isolation buys nothing: if this phase
-    hangs past the budget, the merged line still prints (with null + reason)
-    and the process force-exits.
+    timed in-process (2.18 vs 0.72 s/step, same chip kind, same night).
+    Pre-lowering (export-blob fast path, else a minutes-long host trace)
+    happens ON the worker thread so a hang anywhere in the phase is bounded:
+    if it outlives the budget, the insurance line still prints (with null +
+    reason, or the completed timing upper bound) and the bench moves on.
     """
     import threading
 
@@ -294,25 +448,26 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
     if override is not None:
         timeout = float(override)
     else:
-        timeout = _budget_remaining() - 15.0
+        timeout = _budget_remaining() - reserve
     if timeout <= 30:
         return {"train_step_time_s": None,
                 "train_step_error": f"skipped: {timeout:.0f}s left in budget"}
-    _note(f"train bench in-process, budget {timeout:.0f}s")
+    _note(f"train bench in-process, budget {timeout:.0f}s "
+          f"(reserve {reserve:.0f}s for the forward phase)")
     import jax
 
     box: dict = {}
     progress: dict = {}
+    deadline = time.monotonic() + timeout
 
     def work():
         try:
-            prep = None
-            if prep_done is not None:
-                prep_done.wait()  # budget enforced by the outer join
-                prep = prep_box
+            prep = _prelower_train(
+                cfg, objs if objs is not None else _make_train_objects(
+                    cfg, model, aux, params, upper, surface))
             value, extra = bench_train_step(
                 cfg, model, aux, params, upper, surface, progress=progress,
-                prep=prep)
+                prep=prep, reserve=reserve + 20.0, deadline=deadline)
             box["train_step_time_s"] = round(value, 5)
             box["train_device_kind"] = jax.devices()[0].device_kind
             for k, v in extra.items():
@@ -414,14 +569,21 @@ def _make_train_objects(cfg, model, aux, params, upper, surface) -> dict:
     from pangu_tpu.train.trainer import init_train_state
 
     try:
+        import jax
+        import jax.numpy as jnp
+
         optimizer = make_optimizer(cfg)
         step = make_train_step(model, cfg, optimizer)
-        state = init_train_state(model, cfg, aux, optimizer, params=params)
+        # the train program donates its state (argnum 0) — build it from a
+        # device COPY of params, or the first train call deletes the very
+        # buffers the forward rollout (which runs AFTER the train phase)
+        # still needs
+        params_copy = jax.tree.map(jnp.copy, params)
+        state = init_train_state(model, cfg, aux, optimizer,
+                                 params=params_copy)
         batch = Batch(upper, surface, upper, surface)
         # the loop rng is folded per-step in-graph; create the base key here
         # (a device op, however tiny) to keep the pre-lower thread host-only
-        import jax
-
         base_rng = jax.random.PRNGKey(0)
         return {"step": step, "state": state, "batch": batch, "aux": aux,
                 "base_rng": base_rng}
@@ -524,27 +686,6 @@ def _prelower_train(cfg, objs) -> dict:
         return {"error": f"{type(e).__name__}: {e}"[:300]}
 
 
-def _start_train_prelower(cfg, objs):
-    """Run _prelower_train on a daemon thread; returns (event, box).
-    ``objs`` must come from :func:`_make_train_objects` run on the MAIN
-    thread — the device allocations live there, keeping this thread
-    host-only while the forward phase is timed."""
-    import threading
-
-    box: dict = {}
-    done = threading.Event()
-
-    def work():
-        t0 = time.monotonic()
-        box.update(_prelower_train(cfg, objs))
-        _note(f"train program pre-lowered in background "
-              f"({time.monotonic() - t0:.0f}s)")
-        done.set()
-
-    threading.Thread(target=work, daemon=True).start()
-    return done, box
-
-
 def train_only() -> None:
     import jax
 
@@ -576,16 +717,14 @@ def train_only() -> None:
 
 
 def bench_train_step(cfg, model, aux, params, upper, surface, progress=None,
-                     prep=None):
+                     prep=None, reserve=30.0, deadline=None):
     """Per-step wall time of the jitted train step (fwd+bwd+Adam) at full
     geometry, bf16 compute + per-block remat, batch 1 — loop-amortized like
     the forecast benchmark.
 
-    ``prep``: result of :func:`_prelower_train` (built on a background
-    thread during the forward phase — tracing+lowering the full-geometry
-    train program is minutes of PURE HOST work, the single largest chunk
-    of the train phase, and overlaps the forward timing without touching
-    the device)."""
+    ``prep``: result of :func:`_prelower_train`. ``reserve``: seconds of
+    overall budget to leave untouched by the timing loop (the forward
+    phase runs after this one)."""
     import jax
     import jax.numpy as jnp
 
@@ -624,7 +763,7 @@ def bench_train_step(cfg, model, aux, params, upper, surface, progress=None,
     value, extra = _robust_step_time(
         timed, k_short, k_long,
         reps=int(os.environ.get("PANGU_BENCH_TRAIN_REPS", "4")),
-        min_reps=2, reserve=30.0, progress=progress)
+        min_reps=2, reserve=reserve, progress=progress, deadline=deadline)
     return value, extra
 
 
