@@ -59,3 +59,35 @@ requires_reference = pytest.mark.skipif(
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# fast/slow lanes (VERDICT r03 #9). The default run (`pytest`) excludes only
+# the opt-in `slow` tier (full-geometry golden tests, multi-process jigs —
+# see pyproject.toml addopts). `pytest -m fast` is the <4 min inner loop:
+# modules listed here are auto-marked `fast` (measured cheap on the 1-core
+# CPU host: no full-model train-step compiles over the 8-device mesh).
+# A file-level pytestmark still wins — the hook only ADDS the marker.
+# ---------------------------------------------------------------------------
+_FAST_MODULES = {
+    "test_bench_logic",
+    "test_compile_cache",
+    "test_config",
+    "test_data",
+    "test_eval",
+    "test_flops",
+    "test_geometry",
+    "test_golden_guard",
+    "test_interop_cli",
+    "test_metrics",
+    "test_native_loader",
+    "test_onnx_import",
+    "test_rollout",
+    "test_utils",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
