@@ -184,9 +184,12 @@ class ParallelConfig:
     lat: int = 1
     lon: int = 1
     # GPipe-style pipeline stages (role of the reference's DeepSpeed
-    # PanguModelPipe, models/pangu_model_deepspeed.py:18-125). Must be 1
-    # (off) or exactly the number of model stages (4). Composes with `data`;
-    # mutually exclusive with spatial sharding (lat/lon) in this release.
+    # PanguModelPipe, models/pangu_model_deepspeed.py:18-125). 1 = off;
+    # otherwise any contiguous partition size of the 8-op backbone chain
+    # (pipeline.default_stages: 4 = the reference's U-Net-joint split,
+    # 2 = the mid-network cut, up to 8 = one op per stage). Composes with
+    # `data`; mutually exclusive with spatial sharding (lat/lon) in this
+    # release (docs/PARITY.md).
     pipe: int = 1
     zero_opt_state: bool = True
     # Constrain gradients to the same data-axis sharding inside the train

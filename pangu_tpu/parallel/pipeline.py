@@ -86,34 +86,73 @@ def _shard_map(f=None, **kw):
     return _raw_shard_map(f, **kw) if f is not None else _raw_shard_map(**kw)
 
 
-NUM_STAGES = 4
+#: the full backbone as an ordered op chain; a pipeline stage is any
+#: contiguous slice of it. Op names double as the top-level param-tree keys.
+OPS: Tuple[str, ...] = ("patch_embed", "layer0", "downsample", "layer1",
+                        "layer2", "upsample", "layer3", "patch_recovery")
 
-#: top-level param-tree keys owned by each stage (same split as
+#: the reference's 4-way split at the U-Net joints (same partition as
 #: reference models/pangu_model_deepspeed.py:24-66).
-STAGE_MODULES: Tuple[Tuple[str, ...], ...] = (
+DEFAULT_STAGES: Tuple[Tuple[str, ...], ...] = (
     ("patch_embed", "layer0"),
     ("downsample", "layer1"),
     ("layer2",),
     ("upsample", "layer3", "patch_recovery"),
 )
 
+NUM_STAGES = len(DEFAULT_STAGES)  # the default split's size
+
+# kept under its historical name for importers of the 4-way split
+STAGE_MODULES = DEFAULT_STAGES
+
+
+def default_stages(n: int) -> Tuple[Tuple[str, ...], ...]:
+    """A contiguous n-way partition of :data:`OPS`.
+
+    n=4 is the reference's U-Net-joint split; n=2 cuts at the single
+    mid-network joint (balanced by depth: layer1/layer2 hold the deep
+    blocks); other n in [1, 8] fall back to near-equal contiguous chunks.
+    """
+    if n == 4:
+        return DEFAULT_STAGES
+    if n == 2:
+        return (("patch_embed", "layer0", "downsample", "layer1"),
+                ("layer2", "upsample", "layer3", "patch_recovery"))
+    if not 1 <= n <= len(OPS):
+        raise ValueError(f"pipeline stages must be in [1, {len(OPS)}], got {n}")
+    chunks = np.array_split(np.arange(len(OPS)), n)
+    return tuple(tuple(OPS[i] for i in c) for c in chunks)
+
+
+def _validate_stages(stages: Sequence[Sequence[str]]) -> Tuple[Tuple[str, ...], ...]:
+    stages = tuple(tuple(s) for s in stages)
+    flat = tuple(op for st in stages for op in st)
+    if flat != OPS:
+        raise ValueError(
+            f"stages must be an ordered contiguous partition of {OPS}, "
+            f"got {stages}")
+    if any(len(s) == 0 for s in stages):
+        raise ValueError("empty pipeline stage")
+    return stages
+
 
 class PanguStage(nn.Module):
-    """One pipeline stage as a standalone flax module.
+    """A contiguous slice of the backbone op chain as a standalone module.
 
     Submodules come from :func:`backbone_modules` with the exact names used
     by ``PanguModel``, so a full model's param tree partitions cleanly into
     stage trees (:func:`split_stage_params`) and back.
 
-    ``__call__`` maps a payload tuple to a payload tuple:
-      stage 0: (upper, surface) -> (x_outer,)
-      stage 1: (x_outer,)       -> (x_inner, skip)
-      stage 2: (x_inner, skip)  -> (x_inner, skip)
-      stage 3: (x_inner, skip)  -> (out_upper, out_surface)
+    ``__call__`` maps a boundary payload tuple to a boundary payload tuple.
+    The skip connection (reference models/pangu_model.py:98) is CAPTURED by
+    the ``downsample`` op (its input) and CONSUMED by ``patch_recovery``
+    (concat), so payloads between those boundaries are ``(x, skip)`` and the
+    skip rides the ring with its microbatch regardless of where the stage
+    cuts fall.
     """
 
     cfg: ModelConfig
-    stage_id: int
+    ops: Tuple[str, ...]
     remat: bool = False
 
     @nn.compact
@@ -121,32 +160,32 @@ class PanguStage(nn.Module):
                  deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
         _, mods = backbone_modules(self.cfg, deterministic=not self.remat)
         det = deterministic
-        if self.stage_id == 0:
-            upper, surface = payload
-            x = mods["patch_embed"](upper, surface, aux)
-            x = mods["layer0"](x, det)
-            return (x,)
-        if self.stage_id == 1:
-            (x,) = payload
-            skip = x
-            y = mods["downsample"](x, det)
-            y = mods["layer1"](y, det)
-            return (y, skip)
-        if self.stage_id == 2:
-            y, skip = payload
-            y = mods["layer2"](y, det)
-            return (y, skip)
-        y, skip = payload
-        y = mods["upsample"](y, det)
-        y = mods["layer3"](y, det)
-        y = jnp.concatenate([skip, y], axis=-1)
-        return mods["patch_recovery"](y)
+        for op in self.ops:
+            if op == "patch_embed":
+                upper, surface = payload
+                payload = (mods["patch_embed"](upper, surface, aux),)
+            elif op == "downsample":
+                (x,) = payload
+                payload = (mods["downsample"](x, det), x)  # capture skip
+            elif op == "patch_recovery":
+                x, skip = payload
+                y = jnp.concatenate([skip, x], axis=-1)
+                payload = tuple(mods["patch_recovery"](y))
+            elif op == "layer0":
+                (x,) = payload
+                payload = (mods[op](x, det),)
+            else:  # layer1 / layer2 / upsample / layer3: pass skip through
+                x, skip = payload
+                payload = (mods[op](x, det), skip)
+        return payload
 
 
-def split_stage_params(params: Any) -> List[Any]:
-    """Partition a full PanguModel param tree into the four stage trees."""
+def split_stage_params(params: Any,
+                       stages: Sequence[Sequence[str]] = DEFAULT_STAGES
+                       ) -> List[Any]:
+    """Partition a full PanguModel param tree into per-stage trees."""
     inner = params["params"]
-    return [{"params": {k: inner[k] for k in names}} for names in STAGE_MODULES]
+    return [{"params": {k: inner[k] for k in names}} for names in stages]
 
 
 def merge_stage_params(stage_params: Sequence[Any]) -> Any:
@@ -157,21 +196,34 @@ def merge_stage_params(stage_params: Sequence[Any]) -> Any:
     return {"params": out}
 
 
-def _payload_shapes(cfg: ModelConfig, b: int) -> List[List[Tuple[int, ...]]]:
-    """Payload array shapes at each stage input boundary, plus the final
-    output boundary, for per-device microbatch size ``b``."""
+def _boundary_shapes(cfg: ModelConfig, b: int, bi: int
+                     ) -> List[Tuple[int, ...]]:
+    """Payload array shapes at op-chain boundary ``bi`` (0 = model input,
+    ``len(OPS)`` = model output) for per-device microbatch size ``b``."""
     g = compute_geometry(cfg)
     io_shapes = [(b, cfg.upper_vars, cfg.levels, cfg.lat, cfg.lon),
                  (b, cfg.surface_vars, cfg.lat, cfg.lon)]
     outer = (b, g.z, g.h, g.w, cfg.dims[0])
     inner = (b, g.z, g.h2, g.w2, cfg.dims[1])
-    return [
-        io_shapes,            # into stage 0
-        [outer],              # into stage 1
-        [inner, outer],       # into stage 2
-        [inner, outer],       # into stage 3
-        io_shapes,            # out of stage 3
-    ]
+    outer3 = (b, g.z, g.h, g.w, cfg.dims[3])
+    if bi == 0 or bi == len(OPS):
+        return io_shapes
+    if bi in (1, 2):          # after patch_embed / layer0
+        return [outer]
+    if bi in (3, 4, 5):       # after downsample / layer1 / layer2
+        return [inner, outer]
+    return [outer3, outer]    # after upsample / layer3 (bi 6, 7)
+
+
+def _payload_shapes(cfg: ModelConfig, b: int,
+                    stages: Sequence[Sequence[str]]
+                    ) -> List[List[Tuple[int, ...]]]:
+    """Payload shapes at each stage input boundary, plus the final output
+    boundary, for the given stage partition."""
+    bnds = [0]
+    for st in stages:
+        bnds.append(bnds[-1] + len(st))
+    return [_boundary_shapes(cfg, b, bi) for bi in bnds]
 
 
 def _pack(arrays: Sequence[jnp.ndarray], size: int, dtype) -> jnp.ndarray:
@@ -199,15 +251,22 @@ class PanguPipeline:
     """
 
     def __init__(self, cfg: PanguConfig, mesh: Mesh, params_template: Any,
-                 transport_dtype: Optional[Any] = None):
-        if mesh.shape.get("pipe") != NUM_STAGES:
+                 transport_dtype: Optional[Any] = None,
+                 stages: Optional[Sequence[Sequence[str]]] = None):
+        pipe = mesh.shape.get("pipe", 1)
+        self.stages = (_validate_stages(stages) if stages is not None
+                       else default_stages(pipe))
+        self.num_stages = len(self.stages)
+        if pipe != self.num_stages:
             raise ValueError(
-                f"pipeline needs a 'pipe' mesh axis of size {NUM_STAGES}, "
+                f"pipeline needs a 'pipe' mesh axis of size "
+                f"{self.num_stages} (one device group per stage), "
                 f"got {dict(mesh.shape)}"
             )
         if mesh.shape.get("lat", 1) != 1 or mesh.shape.get("lon", 1) != 1:
             raise ValueError("pipeline mode does not compose with spatial "
-                             "(lat/lon) sharding; use PP x DP")
+                             "(lat/lon) sharding; use PP x DP "
+                             "(docs/PARITY.md discusses why)")
         self.cfg = cfg
         self.mesh = mesh
         # inter-stage ring transfers ride in the model's compute dtype by
@@ -216,7 +275,7 @@ class PanguPipeline:
         self.transport_dtype = jnp.dtype(
             transport_dtype if transport_dtype is not None
             else cfg.model.compute_dtype)
-        stage_trees = split_stage_params(params_template)
+        stage_trees = split_stage_params(params_template, self.stages)
         self._unravels: List[Callable] = []
         self._sizes: List[int] = []
         for tree in stage_trees:
@@ -230,7 +289,7 @@ class PanguPipeline:
     def stack_params(self, params: Any) -> jax.Array:
         """Full param tree -> (S, Pmax) flat stack sharded P('pipe')."""
         rows = []
-        for tree in split_stage_params(params):
+        for tree in split_stage_params(params, self.stages):
             flat, _ = ravel_pytree(tree)
             rows.append(np.pad(np.asarray(flat, np.float32),
                                (0, self.pmax - flat.shape[0])))
@@ -242,7 +301,7 @@ class PanguPipeline:
         """(S, Pmax) flat stack -> full param tree (host-side)."""
         rows = np.asarray(stacked)
         trees = [self._unravels[i](jnp.asarray(rows[i, : self._sizes[i]]))
-                 for i in range(NUM_STAGES)]
+                 for i in range(self.num_stages)]
         return merge_stage_params(trees)
 
     # -- core schedule ------------------------------------------------------
@@ -259,7 +318,7 @@ class PanguPipeline:
         is folded with (tick, stage) inside the schedule so every
         (stage, microbatch) application draws an independent stream."""
         cfg, mcfg = self.cfg, self.cfg.model
-        mesh, S, M = self.mesh, NUM_STAGES, num_microbatches
+        mesh, S, M = self.mesh, self.num_stages, num_microbatches
         dp = mesh.shape.get("data", 1)
         B = upper.shape[0]
         if B % (M * dp):
@@ -267,7 +326,7 @@ class PanguPipeline:
                              f"x data axis {dp}")
         bl = B // (M * dp)  # per-device microbatch size
 
-        shapes = _payload_shapes(mcfg, bl)
+        shapes = _payload_shapes(mcfg, bl, self.stages)
         sizes = [sum(int(np.prod(s)) for s in shp) for shp in shapes]
         buf_size = max(sizes)
         out_size = sizes[-1]
@@ -289,7 +348,7 @@ class PanguPipeline:
                     )
                 else:
                     payload = tuple(_unpack(buf, shapes[i]))
-                stage = PanguStage(mcfg, i, remat=remat)
+                stage = PanguStage(mcfg, self.stages[i], remat=remat)
                 if deterministic:
                     out = stage.apply(p, payload, aux)
                 else:
@@ -299,7 +358,7 @@ class PanguPipeline:
                 return _pack(out, buf_size, bdt)
             return branch
 
-        branches = [stage_branch(i) for i in range(NUM_STAGES)]
+        branches = [stage_branch(i) for i in range(S)]
 
         io_spec_u = P(None, "data", None, None, None, None)
         io_spec_s = P(None, "data", None, None, None)
@@ -391,6 +450,7 @@ class PanguPipeline:
                 only_wind_speed=cfg.train.only_wind_speed_loss, mask=mask)
 
         pipe_sharding = NamedSharding(self.mesh, P("pipe", None))
+        num_stages = self.num_stages
 
         def pin(tree):
             # pin param-stack-shaped leaves to P('pipe') so the output state
@@ -398,7 +458,7 @@ class PanguPipeline:
             # retrace on the second call)
             return jax.tree.map(
                 lambda l: jax.lax.with_sharding_constraint(l, pipe_sharding)
-                if getattr(l, "ndim", 0) == 2 and l.shape[0] == NUM_STAGES
+                if getattr(l, "ndim", 0) == 2 and l.shape[0] == num_stages
                 else l,
                 tree,
             )
@@ -427,7 +487,8 @@ class PanguPipeline:
         def spec_for(leaf):
             # Adam moments mirror the (S, Pmax) param stack and shard with
             # it; bookkeeping scalars (step counts) replicate.
-            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] == NUM_STAGES:
+            if (getattr(leaf, "ndim", 0) == 2
+                    and leaf.shape[0] == self.num_stages):
                 return NamedSharding(self.mesh, P("pipe", None))
             return NamedSharding(self.mesh, P())
 

@@ -3,11 +3,13 @@
 ``deepspeed --num_gpus=8 models/pangu_model_deepspeed.py`` smoke trainer,
 reference models/pangu_model_deepspeed.py:102-125 + train.sh:55).
 
-Runs the 4-stage GPipe schedule (`pangu_tpu.parallel.pipeline`) over a
+Runs the GPipe schedule (`pangu_tpu.parallel.pipeline`) over a
 ``(data, pipe)`` mesh for a bounded number of steps and reports losses —
 the pipeline counterpart of `scripts/finetune.py` (which drives the
-recommended SPMD path). Requires ``parallel.pipe=4`` in the config and
-``4 * parallel.data`` devices.
+recommended SPMD path). ``parallel.pipe`` picks the stage count: any
+contiguous partition size of the 8-op backbone chain (2 = mid-network cut,
+4 = the reference's U-Net joints, default when unset); needs
+``pipe * parallel.data`` devices.
 
     python scripts/pipeline_train.py --preset tiny \
         --set data.store=synthetic --set parallel.pipe=4 \
@@ -26,7 +28,7 @@ from pangu_tpu.parallel import distributed_init, is_main, make_mesh
 
 
 def main() -> None:
-    p = base_parser("GPipe pipeline-parallel training (4 stages)")
+    p = base_parser("GPipe pipeline-parallel training")
     p.add_argument("--steps", type=int, default=4,
                    help="number of optimizer steps to run")
     p.add_argument("--microbatches", type=int, default=2)

@@ -63,6 +63,8 @@ def test_stack_params_sharded_over_pipe(setup):
 @pytest.mark.parametrize("pcfg,microbatches", [
     (ParallelConfig(pipe=NUM_STAGES), 2),           # pure PP
     (ParallelConfig(data=2, pipe=NUM_STAGES), 2),   # PP x DP
+    (ParallelConfig(pipe=2), 2),                    # 2-stage split
+    (ParallelConfig(data=2, pipe=2), 2),            # 2-stage PP x DP
 ])
 def test_pipeline_forward_matches_model(setup, pcfg, microbatches):
     cfg, model, aux, params, upper, surface = setup
