@@ -12,10 +12,109 @@
 # tests/test_full_model_parity.py).
 #
 # Usage: bash scripts/reproduce_baseline.sh /data/workdir
+#        bash scripts/reproduce_baseline.sh --dry-run [workdir]
+#
+# --dry-run validates every stage's WIRING without network or real data
+# (exercised by tests/test_scripts_cli.py so the day egress appears the
+# real run is one command): the weight download is replaced by a synthetic
+# official-structure ONNX (tests/test_onnx_import.py::build_synthetic_onnx
+# over the zero-dependency onnx_wire encoder), the ERA5 download by a
+# generated reference-layout .pt store; conversion, ETL, scoring and the
+# verdict parse all run for real at tiny geometry.
 set -euo pipefail
 
-WORK=${1:?working directory (needs ~700 GB for one year of ERA5)}
 cd "$(dirname "$0")/.."
+
+if [ "${1:-}" = "--dry-run" ]; then
+  WORK=${2:-$(mktemp -d)}
+  mkdir -p "$WORK"
+  export PYTHONPATH=".:${PYTHONPATH:-}"
+  export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+
+  # 1'. synthetic pretrained weights (stands in for the curl)
+  python - "$WORK" <<'EOF'
+import sys
+
+import numpy as np
+
+from tests.test_onnx_import import build_synthetic_onnx
+from pangu_tpu.config import pangu_tiny
+
+build_synthetic_onnx(pangu_tiny().model, np.random.default_rng(3),
+                     sys.argv[1] + "/pangu_weather_24.onnx")
+print("synthetic ONNX written")
+EOF
+
+  # 2. ONNX -> params npz + aux arrays (REAL stage, tiny geometry)
+  python scripts/convert_weights.py --onnx "$WORK/pangu_weather_24.onnx" \
+    --preset tiny --horizon 24 --out "$WORK/params_24.npz" \
+    --aux-out "$WORK/aux_data"
+
+  # 3'. synthetic reference-layout .pt store (stands in for the ERA5
+  #     download), then the REAL ETL stage into the .npy store
+  python - "$WORK" <<'EOF'
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import torch
+
+from pangu_tpu.config import pangu_tiny
+from pangu_tpu.data.dataset import time_str
+
+m = pangu_tiny().model
+root = sys.argv[1] + "/era5_pt"
+os.makedirs(root + "/upper", exist_ok=True)
+os.makedirs(root + "/surface", exist_ok=True)
+rng = np.random.default_rng(0)
+for t in pd.date_range("20180101 00:00:00", "20180103 12:00:00", freq="12h"):
+    s = time_str(t.to_pydatetime())
+    torch.save(torch.from_numpy(rng.standard_normal(
+        (m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)),
+        f"{root}/upper/upper_{s}.pt")
+    torch.save(torch.from_numpy(rng.standard_normal(
+        (m.surface_vars, m.lat, m.lon)).astype(np.float32)),
+        f"{root}/surface/surface_{s}.pt")
+print("synthetic .pt store written")
+EOF
+  python scripts/convert_data.py --src "$WORK/era5_pt" --dst "$WORK/era5_npy" \
+    --format pt --start "20180101 00:00:00" --end "20180103 12:00:00" \
+    --freq 12h --workers 2
+
+  # 4. score (REAL stage: the reference test() protocol, tiny geometry)
+  python scripts/test.py --preset tiny --weights "$WORK/params_24.npz" \
+    --aux-dir "$WORK/aux_data" \
+    --set data.store=npy --set data.root="$WORK/era5_npy" \
+    --set data.test_start="20180101 00:00:00" \
+    --set data.test_end="20180103 00:00:00" \
+    --set data.test_freq=12h \
+    --out "$WORK/scores"
+
+  # 5'. verdict parse runs for real; acceptance numbers are only checked
+  #     for finiteness (synthetic weights score garbage, by construction)
+  python - "$WORK/scores/test/24/csv" <<'EOF'
+import sys
+
+import numpy as np
+
+from pangu_tpu.eval.csv_io import load_error_scores
+
+csv = sys.argv[1]
+# tiny geometry has its own level set — parse the same tables the real
+# verdict reads, keyed by whatever levels exist
+zdf = load_error_scores(csv, "rmse", "upper_z")
+tdf = load_error_scores(csv, "rmse", "upper_t")
+z = zdf[zdf.columns[len(zdf.columns) // 2]].mean()
+t = tdf[tdf.columns[len(tdf.columns) // 2]].mean()
+assert np.isfinite(z) and np.isfinite(t), (z, t)
+print(f"dry-run OK: scoring pipeline wired (mid-level Z rmse={z:.3f}, "
+      f"T rmse={t:.3f} on synthetic weights/data)")
+EOF
+  exit 0
+fi
+
+WORK=${1:?working directory (needs ~700 GB for one year of ERA5)}
 mkdir -p "$WORK"
 
 # 1. Official pretrained weights (reference README "Pretrained models").

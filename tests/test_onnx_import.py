@@ -143,12 +143,15 @@ def build_synthetic_onnx(cfg, rng, path, fused_ln: bool = False):
         layer_norm(ref + "norm2", c)
 
     # normalization statistics / masks as named Constant nodes
-    # (reference models/onnx2torch.py:60-89)
+    # (reference models/onnx2torch.py:60-89). The surface masks live on the
+    # PATCH-PADDED grid like the official export's 724 x 1440 (= 721 + 3);
+    # the upper constant channel is unpadded like the real Constant_17.
     for cname, shape in [("/b1/Constant_9", (cfg.upper_vars, 1, 1, 1)),
                          ("/b1/Constant_10", (cfg.upper_vars, 1, 1, 1)),
                          ("/b1/Constant_11", (cfg.surface_vars, 1, 1)),
                          ("/b1/Constant_12", (cfg.surface_vars, 1, 1)),
-                         ("/b1/Constant_44", (3, cfg.lat, cfg.lon)),
+                         ("/b1/Constant_44",
+                          (3, cfg.lat + geo.lat_pad, cfg.lon)),
                          ("/b1/Constant_17", (1, cfg.levels, cfg.lat, cfg.lon))]:
         o = tname()
         nodes.append(wire.encode_node(
@@ -199,7 +202,9 @@ def test_wire_roundtrip(synthetic):
         np.testing.assert_array_equal(g.initializers[k], v)
     consts = g.constants
     assert "/b1/Constant_9" in consts and "/b1/Constant_44" in consts
-    assert consts["/b1/Constant_44"].shape == (3, cfg.lat, cfg.lon)
+    # masks ride the patch-padded grid, like the official 724 x 1440
+    g_pad = compute_geometry(cfg).lat_pad
+    assert consts["/b1/Constant_44"].shape == (3, cfg.lat + g_pad, cfg.lon)
 
 
 @pytest.mark.parametrize("fused_ln", [False, True])

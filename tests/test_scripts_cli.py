@@ -83,3 +83,23 @@ def test_rollout_cli_smoke(tmp_path, monkeypatch, tiny_ckpt):
         "--mode", "single", *_TINY_DATES,
     ], monkeypatch)
     assert list(out.rglob("*.csv")), "rollout CLI wrote no score CSVs"
+
+
+def test_reproduce_baseline_dry_run(tmp_path):
+    """The acceptance pipeline's wiring stays runnable: synthetic-ONNX
+    weights -> convert -> .pt ETL -> npy store -> test() scoring -> verdict
+    parse, all through the REAL shell script (VERDICT r03 #10 — the day
+    network/data appear, the real run is one command)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(root, ".jax_cache"))
+    res = subprocess.run(
+        ["bash", "scripts/reproduce_baseline.sh", "--dry-run",
+         str(tmp_path / "work")],
+        cwd=root, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    assert "dry-run OK" in res.stdout
