@@ -14,7 +14,11 @@ import pytest
 
 from tests.conftest import has_reference
 
-pytestmark = pytest.mark.skipif(
+requires_full_parity = pytest.mark.skipif(
+    os.environ.get("RUN_FULL_PARITY") != "1",
+    reason="full 721x1440x13 geometry; opt in with RUN_FULL_PARITY=1 (slow)",
+)
+requires_torch_reference = pytest.mark.skipif(
     not (has_reference() and os.environ.get("RUN_FULL_PARITY") == "1"),
     reason="needs reference+torch and RUN_FULL_PARITY=1 (slow)",
 )
@@ -47,6 +51,7 @@ def _load_reference_pangu():
     return importlib.import_module("models.pangu_model")
 
 
+@requires_torch_reference
 def test_full_model_parity(rng):
     import torch
 
@@ -100,3 +105,33 @@ def test_full_model_parity(rng):
         scale = np.abs(ref).max()
         print(f"{name}: max|diff|={diff:.3e} (max|ref|={scale:.3e})")
         assert diff < 5e-4, f"{name} diverged: {diff}"
+
+
+@requires_full_parity
+def test_bf16_speed_path_bound():
+    """The benchmarked configuration (bf16 + one-hot + Pallas-on-TPU +
+    default precision) stays within the deviation bound recorded in
+    docs/PARITY.md against the f32 parity path, at FULL geometry.
+    Measured 2026-08-19 (v5e): RMS 0.0048/0.0049, max 0.026/0.025 in
+    normalized space; asserted here with ~2-4x slack."""
+    from scripts.parity_bf16_bound import run
+
+    out = run(tiny=False)
+    for key in ("upper", "surface"):
+        s = out[key]
+        assert s["rms"] < 0.02, (key, s)
+        assert s["max_abs"] < 0.1, (key, s)
+        assert s["rel_rms"] < 0.03, (key, s)
+
+
+def test_bf16_speed_path_bound_tiny():
+    """Default-suite wiring check of the bound script at tiny geometry
+    (CPU: one-hot + bf16 vs f32 — the Pallas leg needs a real TPU and is
+    covered by the full-geometry lane above)."""
+    from scripts.parity_bf16_bound import run
+
+    out = run(tiny=True)
+    for key in ("upper", "surface"):
+        s = out[key]
+        assert s["rms"] < 0.02, (key, s)
+        assert s["max_abs"] < 0.1, (key, s)
