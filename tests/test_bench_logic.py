@@ -115,3 +115,38 @@ def test_budget_early_stop(monkeypatch):
     # stops at min_reps pairs (2 pairs = 4 calls), not 10
     assert len(calls) == 4
     assert value == pytest.approx(0.2)
+
+
+@pytest.mark.slow
+def test_bench_main_protocol_tiny():
+    """The WHOLE bench flow (train phase first, insurance line, merged
+    final line) as the driver runs it — tiny geometry on CPU. Guards the
+    driver artifact: rounds 2 and 3 each lost a metric to an untested
+    path in this file. Asserts the output protocol, not the numbers."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PANGU_BENCH_TINY="1", PANGU_BENCH_PLATFORM="cpu",
+               PANGU_BENCH_BUDGET="420", PANGU_BENCH_FWD_RESERVE="120",
+               PANGU_BENCH_FWD_REPS="2", PANGU_BENCH_TRAIN_REPS="2")
+    res = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                         capture_output=True, text=True, timeout=500,
+                         cwd=root, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [json.loads(l) for l in res.stdout.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 2, res.stdout
+    insurance, final = lines
+    # insurance line: train metric, flushed before the forward phase
+    assert insurance["metric"] == "train_step_time_s"
+    assert insurance["train_step_time_s"] is not None
+    assert insurance["train_step_time_s"] > 0
+    # final merged line: the driver parses THIS one (last JSON line)
+    assert final["metric"] == "fwd_step_time_s"
+    assert final["value"] == final["fwd_step_time_s"] > 0
+    assert final["vs_baseline"] > 0
+    assert final["train_step_time_s"] == insurance["train_step_time_s"]
+    assert "device_kind" in final
