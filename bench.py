@@ -380,7 +380,7 @@ def main() -> None:
     # ---- TRAIN PHASE FIRST (see module docstring: round 3 lost this
     # number to a cold rollout warm) ----
     fwd_reserve = float(os.environ.get("PANGU_BENCH_FWD_RESERVE", "150"))
-    train_fields = _train_metric_inprocess(
+    train_fields, train_thread = _train_metric_inprocess(
         cfg, model, aux, params, upper, surface, objs=objs,
         reserve=fwd_reserve)
     tr = train_fields.get("train_step_time_s")
@@ -400,8 +400,27 @@ def main() -> None:
     print(json.dumps(insurance), flush=True)
 
     # ---- FORWARD PHASE ----
-    fwd_fields = _fwd_metric_inprocess(
-        roll_done, roll_box, params, upper, surface, aux)
+    # If the train thread outlived its budget it is BLOCKED inside a device
+    # call (a cold compile or a warm step) holding the train state and its
+    # in-flight activations — dispatching the rollout on top of that
+    # OOM'ed the chip in rehearsal (RESOURCE_EXHAUSTED). Grace-join, and
+    # skip the forward phase rather than race it if the device is still
+    # held; with a primed cache this branch never triggers.
+    if train_thread is not None and train_thread.is_alive():
+        grace = max(0.0, min(120.0, _budget_remaining() - 120.0))
+        _note(f"waiting up to {grace:.0f}s for the overdue train thread "
+              f"to release the device")
+        train_thread.join(grace)
+    if train_thread is not None and train_thread.is_alive():
+        fwd_fields = {
+            "fwd_step_time_s": None,
+            "fwd_error": "skipped: train phase still holds the device "
+                         "(in-flight compile/step); running the rollout "
+                         "concurrently OOMs the chip",
+        }
+    else:
+        fwd_fields = _fwd_metric_inprocess(
+            roll_done, roll_box, params, upper, surface, aux)
     fv = fwd_fields.get("fwd_step_time_s")
     if fv:
         u = mfu(fwd_flops, fv, device_kind)
@@ -450,8 +469,9 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
     else:
         timeout = _budget_remaining() - reserve
     if timeout <= 30:
-        return {"train_step_time_s": None,
-                "train_step_error": f"skipped: {timeout:.0f}s left in budget"}
+        return ({"train_step_time_s": None,
+                 "train_step_error":
+                     f"skipped: {timeout:.0f}s left in budget"}, None)
     _note(f"train bench in-process, budget {timeout:.0f}s "
           f"(reserve {reserve:.0f}s for the forward phase)")
     import jax
@@ -484,15 +504,16 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
             # the timing loop was underway: report the tightest completed
             # upper bound rather than nothing (degraded, like a sick-tunnel
             # fallback — see _robust_step_time)
-            return {"train_step_time_s": round(min(progress["floors"]), 5),
-                    "train_device_kind": jax.devices()[0].device_kind,
-                    "train_timing_degraded": True,
-                    "train_step_error":
-                        f"budget cut at {len(progress['floors'])} pairs; "
-                        f"value is the t(k_long)/k_long upper bound"}
-        return {"train_step_time_s": None,
-                "train_step_error": f"still running at budget ({timeout:.0f}s)"}
-    return box
+            return ({"train_step_time_s": round(min(progress["floors"]), 5),
+                     "train_device_kind": jax.devices()[0].device_kind,
+                     "train_timing_degraded": True,
+                     "train_step_error":
+                         f"budget cut at {len(progress['floors'])} pairs; "
+                         f"value is the t(k_long)/k_long upper bound"}, t)
+        return ({"train_step_time_s": None,
+                 "train_step_error":
+                     f"still running at budget ({timeout:.0f}s)"}, t)
+    return box, t
 
 
 def _register_export_serializations(trees) -> None:
