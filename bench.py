@@ -380,7 +380,7 @@ def main() -> None:
     # ---- TRAIN PHASE FIRST (see module docstring: round 3 lost this
     # number to a cold rollout warm) ----
     fwd_reserve = float(os.environ.get("PANGU_BENCH_FWD_RESERVE", "150"))
-    train_fields, train_thread = _train_metric_inprocess(
+    train_fields, train_thread, train_progress = _train_metric_inprocess(
         cfg, model, aux, params, upper, surface, objs=objs,
         reserve=fwd_reserve)
     tr = train_fields.get("train_step_time_s")
@@ -419,8 +419,20 @@ def main() -> None:
                          "concurrently OOMs the chip",
         }
     else:
+        # the train program DONATED the original param buffers; the
+        # trained params in the final state are the live copy (same avals,
+        # so the pre-lowered rollout accepts them — this is a timing run,
+        # drifted values are irrelevant). Only when the train phase never
+        # executed a step do the original buffers still exist.
+        fin = train_progress.pop("final_state", None)
+        roll_params = fin.params if fin is not None else params
+        # free everything of the train state except the params the rollout
+        # needs: dropping the TrainState releases the ~2x-params Adam
+        # moments back to HBM before the rollout allocates activations
+        del fin
+        objs.pop("state", None)
         fwd_fields = _fwd_metric_inprocess(
-            roll_done, roll_box, params, upper, surface, aux)
+            roll_done, roll_box, roll_params, upper, surface, aux)
     fv = fwd_fields.get("fwd_step_time_s")
     if fv:
         u = mfu(fwd_flops, fv, device_kind)
@@ -471,7 +483,7 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
     if timeout <= 30:
         return ({"train_step_time_s": None,
                  "train_step_error":
-                     f"skipped: {timeout:.0f}s left in budget"}, None)
+                     f"skipped: {timeout:.0f}s left in budget"}, None, {})
     _note(f"train bench in-process, budget {timeout:.0f}s "
           f"(reserve {reserve:.0f}s for the forward phase)")
     import jax
@@ -509,11 +521,13 @@ def _train_metric_inprocess(cfg, model, aux, params, upper, surface,
                      "train_timing_degraded": True,
                      "train_step_error":
                          f"budget cut at {len(progress['floors'])} pairs; "
-                         f"value is the t(k_long)/k_long upper bound"}, t)
+                         f"value is the t(k_long)/k_long upper bound"},
+                    t, progress)
         return ({"train_step_time_s": None,
                  "train_step_error":
-                     f"still running at budget ({timeout:.0f}s)"}, t)
-    return box, t
+                     f"still running at budget ({timeout:.0f}s)"},
+                t, progress)
+    return box, t, progress
 
 
 def _register_export_serializations(trees) -> None:
@@ -595,13 +609,14 @@ def _make_train_objects(cfg, model, aux, params, upper, surface) -> dict:
 
         optimizer = make_optimizer(cfg)
         step = make_train_step(model, cfg, optimizer)
-        # the train program donates its state (argnum 0) — build it from a
-        # device COPY of params, or the first train call deletes the very
-        # buffers the forward rollout (which runs AFTER the train phase)
-        # still needs
-        params_copy = jax.tree.map(jnp.copy, params)
-        state = init_train_state(model, cfg, aux, optimizer,
-                                 params=params_copy)
+        # the train program donates its state (argnum 0), so the first
+        # train call consumes these param buffers. The forward phase
+        # (which runs AFTER) therefore reads its params back out of the
+        # FINAL train state (progress["final_state"]) — a device COPY here
+        # instead was tried and OOM'ed the chip (+1.1 GB on an HBM budget
+        # where params + moments + remat residuals already sit near the
+        # ceiling; both phases RESOURCE_EXHAUSTED in rehearsal)
+        state = init_train_state(model, cfg, aux, optimizer, params=params)
         batch = Batch(upper, surface, upper, surface)
         # the loop rng is folded per-step in-graph; create the base key here
         # (a device op, however tiny) to keep the pre-lower thread host-only
@@ -754,7 +769,9 @@ def bench_train_step(cfg, model, aux, params, upper, surface, progress=None,
             cfg, _make_train_objects(cfg, model, aux, params, upper, surface))
     if "error" in prep:
         raise RuntimeError(f"train pre-lowering failed: {prep['error']}")
-    state, batch = prep["state"], prep["batch"]
+    # pop: once the first call donates these buffers the prep dict's
+    # reference is stale, and holding it pins nothing useful
+    state, batch = prep.pop("state"), prep["batch"]
     if "call" in prep:
         # export fast path: compile (cache load) happens at first call
         compiled = prep["call"]
@@ -767,12 +784,18 @@ def bench_train_step(cfg, model, aux, params, upper, surface, progress=None,
         t0 = time.perf_counter()
         state, s = compiled(state, batch, aux, jnp.asarray(k, jnp.int32))
         float(s)
+        if progress is not None:
+            # the forward phase reads its rollout params back out of here
+            # (the original param buffers were donated into this state)
+            progress["final_state"] = state
         return time.perf_counter() - t0
 
     k_short, k_long = 2, 8
     _note("warm train (single dynamic-length program)")
     state, s = compiled(state, batch, aux, jnp.asarray(1, jnp.int32))
     float(s)
+    if progress is not None:
+        progress["final_state"] = state
     _note("timing train")
     # Median of PAIRED (k_long - k_short) differences: with only a 6-step
     # gap, min-of-independent-reps differencing let one tunnel-latency
