@@ -65,6 +65,7 @@ def test_stack_params_sharded_over_pipe(setup):
     (ParallelConfig(data=2, pipe=NUM_STAGES), 2),   # PP x DP
     (ParallelConfig(pipe=2), 2),                    # 2-stage split
     (ParallelConfig(data=2, pipe=2), 2),            # 2-stage PP x DP
+    (ParallelConfig(pipe=8), 2),                    # one op per stage
 ])
 def test_pipeline_forward_matches_model(setup, pcfg, microbatches):
     cfg, model, aux, params, upper, surface = setup
