@@ -198,12 +198,19 @@ def _variant_call(variant: str):
     return call
 
 
-def check_parity(variant: str, args, args_v) -> float:
-    ship = _variant_call("shipped")
+def check_parity(variant: str, args, args_v, ref_cache: dict = None) -> float:
+    """max|diff| of the variant vs the shipped kernel. ``ref_cache`` (one
+    dict per sweep) keeps the shipped output so the full-geometry reference
+    forward is traced+run ONCE, not once per variant — each re-run is a
+    fresh jit through the slow tunnel."""
+    if ref_cache is None:
+        ref_cache = {}
+    if "ref" not in ref_cache:
+        ship = _variant_call("shipped")
+        ref_cache["ref"] = np.asarray(jax.jit(ship)(*args), np.float32)
     var = _variant_call(variant)
-    ref = np.asarray(jax.jit(ship)(*args), np.float32)
     got = np.asarray(jax.jit(var)(*args_v), np.float32)
-    return float(np.abs(ref - got).max())
+    return float(np.abs(ref_cache["ref"] - got).max())
 
 
 def timeit(call, args, k_short=3, k_long=13, reps=5) -> float:
@@ -281,8 +288,9 @@ def smoke() -> None:
     base, biases = _make_args(rng)
     args = _args_for("shipped", base, biases)
     failures = 0
+    ref_cache = {}
     for v in VARIANTS[1:]:
-        pd = check_parity(v, args, _args_for(v, base, biases))
+        pd = check_parity(v, args, _args_for(v, base, biases), ref_cache)
         ok = pd <= 0.05
         failures += not ok
         print(json.dumps({f"{v}_smoke_parity_maxdiff": round(pd, 6),
@@ -305,11 +313,12 @@ def main() -> None:
     base, biases = _make_args(rng)
     ship_args = _args_for("shipped", base, biases)
     out = {}
+    ref_cache = {}
     for v in variants:
         args = _args_for(v, base, biases)
         try:
             if v != "shipped" and not skip_parity:
-                pd = check_parity(v, ship_args, args)
+                pd = check_parity(v, ship_args, args, ref_cache)
                 print(json.dumps({f"{v}_parity_maxdiff": round(pd, 6)}),
                       flush=True)
                 if pd > 0.05:

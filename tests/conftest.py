@@ -89,5 +89,9 @@ _FAST_MODULES = {
 
 def pytest_collection_modifyitems(items):
     for item in items:
-        if item.module.__name__.rsplit(".", 1)[-1] in _FAST_MODULES:
+        # never promote an explicitly slow test into the fast lane
+        # (`-m fast` overrides the default `-m 'not slow'` addopts, so a
+        # fast+slow test WOULD be collected there)
+        if ("slow" not in item.keywords
+                and item.module.__name__.rsplit(".", 1)[-1] in _FAST_MODULES):
             item.add_marker(pytest.mark.fast)

@@ -43,11 +43,10 @@ def _sum_jaxpr_dot_flops(jaxpr) -> float:
     for eqn in jaxpr.eqns:
         if eqn.primitive.name == "dot_general":
             total += _dot_flops(eqn)
-        for param in eqn.params.values():
-            for sub in jax.core.jaxprs_in_params({"p": param}) \
-                    if hasattr(jax.core, "jaxprs_in_params") else []:
-                total += _sum_jaxpr_dot_flops(sub)
-        # standard containers for sub-jaxprs (remat, pjit, scan, cond, ...)
+        # standard containers for sub-jaxprs (remat, pjit, scan, cond, ...).
+        # ONE recursion mechanism only: also walking
+        # jax.core.jaxprs_in_params visited the same sub-jaxprs a second
+        # time and doubled every remat'd/jitted dot (found in review).
         for key in ("jaxpr", "call_jaxpr", "branches", "cond_jaxpr",
                     "body_jaxpr"):
             sub = eqn.params.get(key)
@@ -98,12 +97,23 @@ def test_tiny_batch_scales_linearly():
 
 
 def test_flagship_magnitude():
-    """Full-geometry forward is ~2.3 TFLOP — pin the order of magnitude so a
+    """Full-geometry forward is ~8.7 TFLOP — pin the order of magnitude so a
     units regression (MAC vs FLOP, batch slip) cannot ship silently."""
     fl = forward_matmul_flops(pangu_pretrain(horizon=24).model)
     assert 1e12 < fl["total"] < 1e13
     # attention + MLP dominate the backbone
     assert (fl["attention"] + fl["mlp"]) > 0.6 * fl["total"]
+
+
+def test_subjaxpr_dots_counted_once():
+    """Sub-jaxprs (remat/pjit) recurse exactly once: a checkpointed matmul
+    counts 2*m*k*n, not double (the bug a second recursion mechanism
+    introduced — each remat'd dot was visited twice)."""
+    a = jnp.zeros((4, 4), jnp.float32)
+    jaxpr = jax.make_jaxpr(jax.checkpoint(lambda a, b: a @ b))(a, a)
+    assert _sum_jaxpr_dot_flops(jaxpr.jaxpr) == 2.0 * 4 * 4 * 4
+    jaxpr2 = jax.make_jaxpr(jax.jit(lambda a, b: a @ b))(a, a)
+    assert _sum_jaxpr_dot_flops(jaxpr2.jaxpr) == 2.0 * 4 * 4 * 4
 
 
 def test_train_is_three_forwards():
