@@ -221,8 +221,14 @@ class PanguConfig:
 
 def pangu_pretrain(horizon: int = 24, **model_kw: Any) -> PanguConfig:
     """The published-weights geometry; `horizon` selects the 1/3/6/24h model
-    (replaces the reference's config_{1,3,6,24}.py module clones)."""
-    freq = f"{horizon}h" if horizon >= 24 else "24h"
+    (replaces the reference's config_{1,3,6,24}.py module clones).
+
+    Data cadence follows the reference's per-horizon clones: the h-hour
+    model trains/scores on h-hourly pairs (config_{1,3,6}.py:50,66,73 set
+    FREQUENCY='{1,3,6}h'; config.py:50 sets '24h'), capped at daily for
+    any longer horizon. (An inverted `>= 24` here once made every preset
+    daily — the 1h model saw one diurnal phase and 24x fewer samples.)"""
+    freq = f"{horizon}h" if horizon < 24 else "24h"
     return PanguConfig(
         model=ModelConfig(**model_kw),
         data=DataConfig(train_freq=freq, val_freq=freq, test_freq=freq),

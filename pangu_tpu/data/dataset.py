@@ -440,11 +440,18 @@ def make_loader(
     }
     start, end, freq, shuffle = ranges[split]
     ds = Era5Dataset(store, start, end, freq, horizon)
+    # train keeps drop_last=True (static jit shapes; one SGD batch of data
+    # is noise). val/test must score EVERY sample — a dropped tail batch
+    # would silently bias the CSVs whenever batch_size does not divide the
+    # range (the per-shard counts stay equal: the wrap-pad above already
+    # equalizes shard lengths, so the partial batch is the same size on
+    # every process and lockstep collectives still match).
     return BatchLoader(
         ds,
         batch_size,
         shuffle=shuffle,
         seed=cfg.seed,
+        drop_last=split == "train",
         num_shards=num_shards,
         shard=shard,
         accumulation=accumulation,

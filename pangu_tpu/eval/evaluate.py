@@ -26,6 +26,7 @@ from pangu_tpu.config import PanguConfig
 from pangu_tpu.eval.csv_io import save_error_scores
 from pangu_tpu.metrics import (
     weighted_acc_channels,
+    weighted_acc_masked_channels,
     weighted_rmse_channels,
     weighted_rmse_channels_masked,
     wind_speed,
@@ -51,8 +52,13 @@ def make_field_scorer(cfg: PanguConfig) -> Callable:
 
         if use_mask and aux.custom_mask is not None:
             rmse = partial(weighted_rmse_channels_masked, mask=aux.custom_mask)
+            # ACC must honor the same region (reference
+            # era5_data/score.py:46-61 weighted_acc_masked) — a masked RMSE
+            # next to a GLOBAL ACC silently mixes region and global scores
+            acc = partial(weighted_acc_masked_channels, mask=aux.custom_mask)
         else:
             rmse = weighted_rmse_channels
+            acc = weighted_acc_channels
 
         out: Dict[str, jnp.ndarray] = {}
         for i, var in enumerate("zqtuv"):
@@ -67,8 +73,8 @@ def make_field_scorer(cfg: PanguConfig) -> Callable:
         ou_a, tu_a = ou - um, tu - um
         os_a, ts_a = os_ - sm, ts - sm
         for i, var in enumerate("zqtuv"):
-            out[f"acc_upper_{var}"] = weighted_acc_channels(ou_a[i], tu_a[i])
-        out["acc_surface"] = weighted_acc_channels(os_a, ts_a)
+            out[f"acc_upper_{var}"] = acc(ou_a[i], tu_a[i])
+        out["acc_surface"] = acc(os_a, ts_a)
         return out
 
     return score_fields

@@ -355,7 +355,16 @@ class PanguPipeline:
                     kp, kd = jax.random.split(key)
                     out = stage.apply(p, payload, aux, False,
                                       rngs={"droppath": kp, "dropout": kd})
-                return _pack(out, buf_size, bdt)
+                # second slot: the MODEL OUTPUTS in f32. Only the last
+                # stage produces them (statically known per branch), so the
+                # final normalized fields never round through the bf16
+                # transport dtype — the same protection raw inputs get on
+                # the way in. The ring itself stays in the transport dtype.
+                if i == S - 1:
+                    out32 = _pack(out, out_size, jnp.float32)
+                else:
+                    out32 = jnp.zeros((out_size,), jnp.float32)
+                return _pack(out, buf_size, bdt), out32
             return branch
 
         branches = [stage_branch(i) for i in range(S)]
@@ -384,24 +393,25 @@ class PanguPipeline:
                 m = jnp.minimum(t, M - 1)
                 key = jax.random.fold_in(
                     jax.random.fold_in(jax.random.fold_in(rng, t), sid), did)
-                out = jax.lax.switch(sid, branches, local_flat, buf, aux,
-                                     micro_u, micro_s, m, key)
+                out, out32 = jax.lax.switch(sid, branches, local_flat, buf,
+                                            aux, micro_u, micro_s, m, key)
                 j = t - (S - 1)
                 upd = jax.lax.dynamic_update_slice(
-                    outs, out[None, :out_size], (jnp.maximum(j, 0), 0))
+                    outs, out32[None], (jnp.maximum(j, 0), 0))
                 outs = jnp.where((sid == S - 1) & (j >= 0), upd, outs)
                 buf = jax.lax.ppermute(
                     out, "pipe", [(i, (i + 1) % S) for i in range(S)])
                 return (buf, outs), None
 
             buf0 = jnp.zeros((buf_size,), bdt)
-            outs0 = jnp.zeros((M, out_size), bdt)
+            outs0 = jnp.zeros((M, out_size), jnp.float32)
             (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
                                         jnp.arange(M + S - 1))
             # only the last stage holds real outputs; psum replicates them
             # across the pipe ring (a no-op-sized collective: S-1 zeros).
             outs = jax.lax.psum(
-                jnp.where(sid == S - 1, outs, jnp.zeros((), bdt)), "pipe")
+                jnp.where(sid == S - 1, outs, jnp.zeros((), jnp.float32)),
+                "pipe")
             nu = int(np.prod(shapes[-1][0]))
             u = outs[:, :nu].reshape((M,) + shapes[-1][0])
             s = outs[:, nu:].reshape((M,) + shapes[-1][1])

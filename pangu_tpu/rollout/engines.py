@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import os
+from collections.abc import Mapping
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 from typing import Callable, Dict, Optional, Sequence, Tuple
@@ -151,9 +152,11 @@ def multi_output_rollout(
     last_key = max(dataset.keys)
 
     for idx in range(len(dataset)):
-        upper, surface, _, _, periods = dataset[idx]
-        init_str = periods[0]
-        init_time = datetime.strptime(init_str, "%Y%m%d%H")
+        # decide BEFORE touching the store: dataset[idx] would also load
+        # the t+horizon target pair (~300 MB at flagship geometry) that a
+        # rollout never uses — and pay it even for skipped non-00Z inits
+        init_time = dataset.keys[idx]
+        init_str = init_time.strftime("%Y%m%d%H")
         if init_time.hour != starts_at_hour:
             continue
         if init_time + timedelta(hours=base_horizon * spaces) > last_key:
@@ -167,6 +170,7 @@ def multi_output_rollout(
             )
             continue
 
+        upper, surface = dataset.store.load(init_time)
         upper, surface = upper[None], surface[None]
         # per-model input chains (reference mix24 state logic,
         # inference_multiOutput-3-mix24.py:164-165,183-203). Preserved
@@ -206,7 +210,12 @@ def multi_output_rollout(
                     f"cadence (base horizon {base_horizon}h)"
                 )
             gt_upper, gt_surface = dataset.store.load(current)
-            scores = scorer(u_sc[0], s_sc[0], gt_upper, gt_surface, b.aux)
+            # score with the SCORED model's aux: ACC anomalies subtract its
+            # climatological mean, which may differ from the driving
+            # bundle's (e.g. a finetuned model with rebuilt statistics)
+            score_aux = score_bundle.aux if score_bundle is not None else b.aux
+            scores = scorer(u_sc[0], s_sc[0], gt_upper, gt_surface,
+                            score_aux)
             _record(rmse_scores, acc_scores, jax.device_get(scores),
                     current.strftime("%Y%m%d%H"))
 
@@ -249,9 +258,11 @@ def hierarchical_forecast(
       tolerated: shorter models chain as many exact applications as the
       gap needs instead of mislabeling a single application.
 
-    Returns {hour: (upper, surface)}. With ``spill_dir``, intermediate frames
+    Returns a {hour: (upper, surface)} Mapping. With ``spill_dir``, frames
     live as compressed .npz on disk (reference save/load_prediction,
-    inference_iterative.py:95-128) and the dict holds lazy loaders' paths.
+    inference_iterative.py:95-128) and the mapping loads each hour LAZILY
+    on access — iterating scores one frame in memory at a time instead of
+    pulling the whole ladder back at once.
     """
     lo, hi = hours
     # normalize shapes at the boundary: frames are stored un-batched
@@ -314,7 +325,32 @@ def hierarchical_forecast(
     if 1 in bundles:
         run(1, list(range(lo, hi + 1)))
 
-    return {h: load(h) for h in sorted(preds) if lo <= h <= hi}
+    # LAZY mapping: spilled frames stay on disk until the consumer asks
+    # for that hour (eagerly np.load-ing every frame here would pull the
+    # whole ~GB-scale ladder back into host memory at once and defeat the
+    # spill). In-memory entries pass through unchanged.
+    return _FrameMap({h: preds[h] for h in sorted(preds) if lo <= h <= hi})
+
+
+class _FrameMap(Mapping):
+    """{hour: (upper, surface)} view over mixed in-memory frames and
+    spilled .npz paths; paths load on access, one frame at a time."""
+
+    def __init__(self, entries: Dict[int, object]):
+        self._entries = entries
+
+    def __getitem__(self, h: int):
+        item = self._entries[h]
+        if isinstance(item, str):
+            data = np.load(item)
+            return data["output"], data["output_surface"]
+        return item
+
+    def __iter__(self):
+        return iter(self._entries)
+
+    def __len__(self) -> int:
+        return len(self._entries)
 
 
 def iterative_eval(
@@ -343,9 +379,11 @@ def iterative_eval(
     n_inits = 0
 
     for idx in range(len(dataset)):
-        upper, surface, _, _, periods = dataset[idx]
-        init_str = periods[0]
-        init_time = datetime.strptime(init_str, "%Y%m%d%H")
+        # same reasoning as multi_output_rollout: never load the unused
+        # t+horizon target pair, and skip non-qualifying inits before
+        # touching the store at all
+        init_time = dataset.keys[idx]
+        init_str = init_time.strftime("%Y%m%d%H")
         if init_time.hour != starts_at_hour:
             continue
         if init_time + timedelta(hours=hi) > last_key:
@@ -356,6 +394,7 @@ def iterative_eval(
             continue
         n_inits += 1
 
+        upper, surface = dataset.store.load(init_time)
         preds = hierarchical_forecast(
             bundles, init_time, upper, surface,
             spill_dir=os.path.join(spill_dir, init_str) if spill_dir else None,

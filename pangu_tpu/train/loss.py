@@ -41,7 +41,12 @@ def weighted_l1_loss(
         l_s = jnp.abs(os_ws - ts_ws)
         l_u = jnp.abs(ou_ws - tu_ws)
         if mask is not None:
-            valid = jnp.sum(mask)
+            # normalize by batch as well as valid points: the reference
+            # formula (models/pangu_sample.py:198-213) runs at batch 1
+            # where sum/valid is exact; summing over B without dividing
+            # would scale loss AND gradients linearly with batch size,
+            # unlike the unmasked mean path
+            valid = jnp.sum(mask) * l_s.shape[0]
             return (
                 jnp.sum(l_s * mask[None]) / valid
                 + jnp.sum(l_u * mask[None, None]) / valid
@@ -51,7 +56,9 @@ def weighted_l1_loss(
     l_s = jnp.abs(out_surface - tgt_surface) * aux.surface_weights
     l_u = jnp.abs(out_upper - tgt_upper) * aux.upper_weights
     if mask is not None:
-        valid = jnp.sum(mask)
+        # batch-normalized (see the wind-speed branch note); identical to
+        # the reference at its batch size of 1
+        valid = jnp.sum(mask) * l_s.shape[0]
         w_s = jnp.sum(l_s * mask[None, None]) / valid
         w_u = jnp.sum(l_u * mask[None, None, None]) / valid
     else:

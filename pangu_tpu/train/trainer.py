@@ -170,7 +170,7 @@ class Trainer:
     ) -> Tuple[Any, TrainState]:
         """Returns (best_params, final_state)."""
         cfg = self.cfg
-        rng = jax.random.PRNGKey(cfg.train.seed)
+        base_rng = jax.random.PRNGKey(cfg.train.seed)
         if state is None:
             state = init_train_state(self.model, cfg, self.aux, self.optimizer)
 
@@ -193,6 +193,12 @@ class Trainer:
             # internal epoch 0 regardless of start_epoch).
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
+            # The droppath/dropout stream is likewise a function of
+            # (seed, epoch, step-within-epoch), NOT of how many epochs this
+            # process has executed: a run resumed at epoch N draws the same
+            # masks an uninterrupted run would have drawn at epoch N,
+            # instead of replaying epoch 1's stream against epoch-N data.
+            rng = jax.random.fold_in(base_rng, epoch)
             if self.profile_dir and epoch == start_epoch:
                 jax.profiler.start_trace(self.profile_dir)
                 profiling = True

@@ -67,12 +67,15 @@ def main() -> None:
 
     mesh = make_mesh(cfg.parallel)
     pipeline = PanguPipeline(cfg, mesh, params)
-    optimizer = make_optimizer(cfg)
-    state = pipeline.init_train_state(params, optimizer)
-    step = pipeline.make_train_step(optimizer, args.microbatches)
-
     batch_size = args.microbatches * cfg.parallel.data
     loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, batch_size)
+    # steps_per_epoch converts the epoch-valued lr_milestones (25/50,
+    # reference finetune_fully.py:205) to step boundaries; the default of 1
+    # would halve the LR twice within the first epoch (scripts/finetune.py
+    # wires this identically)
+    optimizer = make_optimizer(cfg, steps_per_epoch=len(loader))
+    state = pipeline.init_train_state(params, optimizer)
+    step = pipeline.make_train_step(optimizer, args.microbatches)
 
     it = iter(loader)
     for i in range(args.steps):

@@ -39,3 +39,14 @@ def test_roundtrip(tmp_path):
         loaded = load_config(p)
         assert loaded.model == cfg.model
         assert loaded == cfg
+
+
+def test_pretrain_horizon_data_cadence():
+    """The h-hour preset trains/scores on h-hourly pairs (reference
+    config_{1,3,6}.py FREQUENCY; an inverted conditional once made every
+    preset daily — the 1h model saw one diurnal phase)."""
+    from pangu_tpu.config import pangu_pretrain
+
+    for h, freq in ((1, "1h"), (3, "3h"), (6, "6h"), (24, "24h")):
+        d = pangu_pretrain(horizon=h).data
+        assert (d.train_freq, d.val_freq, d.test_freq) == (freq,) * 3

@@ -246,3 +246,29 @@ def test_netcdf_expver_resolution():
     # preliminary month: data in expver=5 -> must pick 5
     sub = NetCDFStore._sel_time(FakeDs({1: nans, 5: finite}), None)
     assert np.isfinite(sub.data_vars["msl"].values).all()
+
+
+def test_eval_loader_keeps_tail_batch():
+    """val/test loaders must score EVERY sample: with batch_size=2 over an
+    odd-length range the tail sample rides a final partial batch instead of
+    being silently dropped (train keeps drop_last for static jit shapes)."""
+    import dataclasses
+
+    from pangu_tpu.config import pangu_tiny
+    from pangu_tpu.data.dataset import make_loader
+
+    cfg = pangu_tiny()
+    data = dataclasses.replace(
+        cfg.data, store="synthetic",
+        test_start="20180101 00:00:00", test_end="20180107 00:00:00",
+        test_freq="24h",
+        train_start="20180101 00:00:00", train_end="20180107 00:00:00",
+        train_freq="24h",
+    )
+    test_loader = make_loader(data, cfg.model, "test", 24, batch_size=2)
+    n = sum(b.upper.shape[0] for b, _ in test_loader)
+    assert n == len(test_loader.ds)  # odd count: 5 samples -> 2+2+1
+    assert n % 2 == 1, "range chosen to produce a partial tail batch"
+    train_loader = make_loader(data, cfg.model, "train", 24, batch_size=2)
+    n_train = sum(b.upper.shape[0] for b, _ in train_loader)
+    assert n_train == len(train_loader.ds) - (len(train_loader.ds) % 2)

@@ -89,3 +89,56 @@ def test_rmse_acc_parity_with_reference():
     ).numpy()
     got_m = np.asarray(metrics.weighted_rmse_channels_masked(pred, tgt, mask))
     np.testing.assert_allclose(got_m, ref_m, rtol=2e-5)
+
+
+def test_masked_acc_reduces_to_unmasked(rng):
+    from pangu_tpu.metrics import (
+        weighted_acc_channels,
+        weighted_acc_masked_channels,
+    )
+
+    a = rng.standard_normal((3, 8, 16)).astype(np.float32)
+    b = rng.standard_normal((3, 8, 16)).astype(np.float32)
+    full = np.ones((8, 16), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(weighted_acc_masked_channels(a, b, full)),
+        np.asarray(weighted_acc_channels(a, b)), rtol=1e-6)
+    # a real mask must CHANGE the score (region != globe)
+    half = full.copy()
+    half[:, 8:] = 0.0
+    assert not np.allclose(
+        np.asarray(weighted_acc_masked_channels(a, b, half)),
+        np.asarray(weighted_acc_channels(a, b)))
+
+
+def test_region_mask_applies_to_acc_and_rmse(rng):
+    """make_field_scorer must score BOTH metric families over the region —
+    a masked RMSE next to a global ACC silently mixes scopes."""
+    import dataclasses
+
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_tiny
+    from pangu_tpu.eval.evaluate import make_field_scorer
+
+    cfg = pangu_tiny()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                use_custom_mask=True))
+    m = cfg.model
+    aux = synthetic_aux_constants(m, cfg.train)
+    mask = np.zeros((m.lat, m.lon), np.float32)
+    mask[10:20, 30:60] = 1.0
+    aux.custom_mask = mask
+    aux_global = synthetic_aux_constants(m, cfg.train)
+    aux_global.custom_mask = np.ones((m.lat, m.lon), np.float32)
+
+    ou = rng.standard_normal((m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    os_ = rng.standard_normal((m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    tu = ou + 0.1 * rng.standard_normal(ou.shape).astype(np.float32)
+    ts = os_ + 0.1 * rng.standard_normal(os_.shape).astype(np.float32)
+
+    scorer = make_field_scorer(cfg)
+    region = {k: np.asarray(v) for k, v in scorer(ou, os_, tu, ts, aux).items()}
+    full = {k: np.asarray(v) for k, v in
+            scorer(ou, os_, tu, ts, aux_global).items()}
+    for fam in ("rmse_upper_z", "acc_upper_z", "acc_surface"):
+        assert not np.allclose(region[fam], full[fam]), fam

@@ -191,6 +191,12 @@ def test_hierarchical_forecast(setup, tmp_path):
     b6 = bundles[6]
     u_direct, s_direct = b6.forecast_step()(params, u24[None], s24[None], aux)
     np.testing.assert_allclose(preds[30][0], np.asarray(u_direct)[0], atol=2e-4)
+    # with spill_dir the mapping must stay LAZY: spilled entries are paths
+    # until accessed (eager loading would pull the whole ladder back into
+    # host memory at once and defeat the spill)
+    spilled = [v for v in preds._entries.values() if isinstance(v, str)]
+    assert spilled, "spill_dir set but nothing was spilled"
+    assert all(os.path.exists(p) for p in spilled)
 
 
 def test_score_bundle_side_by_side(setup, tmp_path):

@@ -342,3 +342,34 @@ def test_multistep_schedule_duplicate_milestones():
     sched = multistep_lr(1.0, (2, 2), 0.5, steps_per_epoch=1)
     assert float(sched(1)) == pytest.approx(1.0)
     assert float(sched(3)) == pytest.approx(0.25)
+
+
+def test_masked_loss_batch_invariant(rng):
+    """The region-masked loss is a per-sample mean like the unmasked path:
+    stacking the same sample B times must not scale it (it once grew
+    linearly with batch size, and so did the gradients)."""
+    from pangu_tpu.aux import synthetic_aux_constants
+    from pangu_tpu.config import pangu_tiny
+    from pangu_tpu.train.loss import weighted_l1_loss
+
+    cfg = pangu_tiny()
+    m = cfg.model
+    aux = synthetic_aux_constants(m, cfg.train)
+    mask = np.zeros((m.lat, m.lon), np.float32)
+    mask[5:25, 10:50] = 1.0
+    ou = rng.standard_normal((1, m.upper_vars, m.levels, m.lat, m.lon)).astype(np.float32)
+    os_ = rng.standard_normal((1, m.surface_vars, m.lat, m.lon)).astype(np.float32)
+    tu = ou + 0.3
+    ts = os_ + 0.3
+
+    def rep(x):
+        return np.concatenate([x] * 4, axis=0)
+
+    for ws in (False, True):
+        l1 = float(weighted_l1_loss(ou, os_, tu, ts, aux,
+                                    only_wind_speed=ws, mask=mask))
+        l4 = float(weighted_l1_loss(rep(ou), rep(os_), rep(tu), rep(ts), aux,
+                                    only_wind_speed=ws, mask=mask))
+        # f32 summation-order noise only; the bug this guards against
+        # scales the loss 4x
+        assert l4 == pytest.approx(l1, rel=1e-3), (ws, l1, l4)
