@@ -102,21 +102,24 @@ def run_streamlit(args) -> None:
     init = st.sidebar.date_input("Init date", datetime(2024, 1, 1))
     steps = st.sidebar.slider("Forecast steps", 1, 10,
                               max(1, min(args.steps, 10)))
-    # a config override may carry fewer surface variables than ERA5's 4
-    names = list(
-        ERA5_SURFACE_VARIABLES[: build_config(args).model.surface_vars])
-    var = st.sidebar.selectbox("Surface variable", names)
 
     cfg, frames = _forecast(
         datetime(init.year, init.month, init.day), steps, args
     )
+    # a config override may carry fewer surface variables than ERA5's 4
+    names = list(ERA5_SURFACE_VARIABLES[: cfg.model.surface_vars])
+    var = st.sidebar.selectbox("Surface variable", names)
     vi = names.index(var)
     cols = st.columns(min(3, steps))
+    import matplotlib.pyplot as plt
+
     for i, (u, s) in enumerate(frames):
         with cols[i % len(cols)]:
-            st.pyplot(
-                _render_field(s[vi], f"{var} +{cfg.horizon * (i + 1)}h")
-            )
+            fig = _render_field(s[vi], f"{var} +{cfg.horizon * (i + 1)}h")
+            st.pyplot(fig)
+            # streamlit reruns the whole script per widget interaction;
+            # unclosed pyplot-registered figures accumulate across reruns
+            plt.close(fig)
 
 
 def run_headless(out_dir: str, args) -> str:

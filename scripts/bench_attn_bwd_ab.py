@@ -51,7 +51,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -71,14 +70,11 @@ VARIANTS = ("shipped", "local_accum", "fat_wgrad", "value_all", "value_fat",
 _NW = {"pair": 2, "tri": 3, "pair_fat": 2, "tri_fat": 3}
 
 
+from ab_common import dot as _dot, interpret_pallas, scan_timeit  # noqa: E402
+
+
 def _scale() -> float:
     return (C // HEADS) ** -0.5
-
-
-def _dot(a, b, ta=False, tb=False):
-    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
-    return jax.lax.dot_general(a, b, dimension_numbers=dims,
-                               preferred_element_type=jnp.float32)
 
 
 def _recompute_heads(xw, wqkv_ref, bqkv_ref, bias_ref, dacc, t, c, d, heads,
@@ -452,35 +448,16 @@ def check_parity(variant: str, args) -> float:
 
 
 def timeit(call, args, k_short=3, k_long=13, reps=5) -> float:
-    """ms per backward call, scan-chained with an input perturbation that
-    defeats CSE (x_{i+1} = x + eps*dx_i). All operands are jit ARGUMENTS."""
+    """ms per backward call via the shared scan-chain methodology
+    (x_{i+1} = x + eps*dx_i defeats CSE)."""
 
-    def chain(k):
-        @jax.jit
-        def run(x, rest):
-            def body(xc, _):
-                outs = call(xc, *rest)
-                dx = outs[0]
-                x2 = (xc + jnp.bfloat16(1e-6) * dx).astype(xc.dtype)
-                return x2, jnp.sum(outs[1])
+    def body(xc, rest):
+        outs = call(xc, *rest)
+        dx = outs[0]
+        x2 = (xc + jnp.bfloat16(1e-6) * dx).astype(xc.dtype)
+        return x2, jnp.sum(outs[1])
 
-            xf, partials = jax.lax.scan(body, x, None, length=k)
-            return jnp.sum(partials) + jnp.sum(xf[0, 0, 0, 0, :8])
-
-        return run
-
-    rest = tuple(args[1:])
-    f_s, f_l = chain(k_short), chain(k_long)
-    float(f_s(args[0], rest))  # compile + warm
-    float(f_l(args[0], rest))
-
-    def once(f):
-        t0 = time.perf_counter()
-        float(f(args[0], rest))
-        return time.perf_counter() - t0
-
-    diffs = sorted(once(f_l) - once(f_s) for _ in range(reps))
-    return diffs[len(diffs) // 2] / (k_long - k_short) * 1e3
+    return scan_timeit(call, args, body, k_short, k_long, reps)
 
 
 def _make_args(rng):
@@ -508,25 +485,16 @@ def smoke() -> None:
     # W = 72 so wn = 6 divides by the pair (2) and tri (3) packings
     B, Z, HP, W, C, HEADS = 1, 2, 6, 72, 32, 2
 
-    real_call = pl.pallas_call
-
-    def interp_call(*a, **kw):
-        kw["interpret"] = True
-        kw.pop("compiler_params", None)
-        kw.pop("cost_estimate", None)
-        return real_call(*a, **kw)
-
-    pl.pallas_call = interp_call
-    rng = np.random.default_rng(0)
-    args = _make_args(rng)
     failures = 0
-    for v in VARIANTS[1:]:
-        pd = check_parity(v, args)
-        ok = pd <= 0.05
-        failures += not ok
-        print(json.dumps({f"{v}_smoke_parity_maxdiff": round(pd, 6),
-                          "ok": ok}), flush=True)
-    pl.pallas_call = real_call
+    with interpret_pallas():
+        rng = np.random.default_rng(0)
+        args = _make_args(rng)
+        for v in VARIANTS[1:]:
+            pd = check_parity(v, args)
+            ok = pd <= 0.05
+            failures += not ok
+            print(json.dumps({f"{v}_smoke_parity_maxdiff": round(pd, 6),
+                              "ok": ok}), flush=True)
     sys.exit(1 if failures else 0)
 
 

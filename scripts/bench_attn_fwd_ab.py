@@ -48,7 +48,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -68,14 +67,11 @@ _NW = {"dbl": 2, "quad": 4}
 _NEG = -1e9
 
 
+from ab_common import dot as _dot, interpret_pallas, scan_timeit  # noqa: E402
+
+
 def _scale() -> float:
     return (C // HEADS) ** -0.5
-
-
-def _dot(a, b, ta=False, tb=False):
-    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
-    return jax.lax.dot_general(a, b, dimension_numbers=dims,
-                               preferred_element_type=jnp.float32)
 
 
 def interleave_bias(bias: np.ndarray, nw: int, ww: int) -> np.ndarray:
@@ -104,6 +100,12 @@ def _make_kernel(variant: str):
     heads = HEADS
     scale = _scale()
     nw = _NW.get(variant, 1)
+    if wn % nw:
+        # 30 lon-windows at full geometry: nw=4 would cover only 28 and
+        # leave the last 2 windows' output uninitialized — an invalid
+        # kernel AND an invalid (undercounted) timing
+        raise ValueError(f"{variant}: {wn} lon-windows not divisible "
+                         f"by the {nw}-window packing")
     wwn = ww * nw
     tn = t * nw
 
@@ -214,34 +216,15 @@ def check_parity(variant: str, args, args_v, ref_cache: dict = None) -> float:
 
 
 def timeit(call, args, k_short=3, k_long=13, reps=5) -> float:
-    """ms per forward call, scan-chained with an input perturbation that
-    defeats CSE (x_{i+1} = x + eps*out_i). All operands are jit ARGUMENTS."""
+    """ms per forward call via the shared scan-chain methodology
+    (x_{i+1} = x + eps*out_i defeats CSE)."""
 
-    def chain(k):
-        @jax.jit
-        def run(x, rest):
-            def body(xc, _):
-                out = call(xc, *rest)
-                x2 = (xc + jnp.bfloat16(1e-3) * out).astype(xc.dtype)
-                return x2, jnp.sum(out[0, 0, 0, 0, :8])
+    def body(xc, rest):
+        out = call(xc, *rest)
+        x2 = (xc + jnp.bfloat16(1e-3) * out).astype(xc.dtype)
+        return x2, jnp.sum(out[0, 0, 0, 0, :8])
 
-            xf, partials = jax.lax.scan(body, x, None, length=k)
-            return jnp.sum(partials) + jnp.sum(xf[0, 0, 0, 0, :8])
-
-        return run
-
-    rest = tuple(args[1:])
-    f_s, f_l = chain(k_short), chain(k_long)
-    float(f_s(args[0], rest))  # compile + warm
-    float(f_l(args[0], rest))
-
-    def once(f):
-        t0 = time.perf_counter()
-        float(f(args[0], rest))
-        return time.perf_counter() - t0
-
-    diffs = sorted(once(f_l) - once(f_s) for _ in range(reps))
-    return diffs[len(diffs) // 2] / (k_long - k_short) * 1e3
+    return scan_timeit(call, args, body, k_short, k_long, reps)
 
 
 def _make_args(rng):
@@ -275,27 +258,18 @@ def smoke() -> None:
     # W = 96 so wn = 8 divides by both dbl (2) and quad (4)
     B, Z, HP, W, C, HEADS = 1, 2, 6, 96, 32, 2
 
-    real_call = pl.pallas_call
-
-    def interp_call(*a, **kw):
-        kw["interpret"] = True
-        kw.pop("compiler_params", None)
-        kw.pop("cost_estimate", None)
-        return real_call(*a, **kw)
-
-    pl.pallas_call = interp_call
-    rng = np.random.default_rng(0)
-    base, biases = _make_args(rng)
-    args = _args_for("shipped", base, biases)
     failures = 0
-    ref_cache = {}
-    for v in VARIANTS[1:]:
-        pd = check_parity(v, args, _args_for(v, base, biases), ref_cache)
-        ok = pd <= 0.05
-        failures += not ok
-        print(json.dumps({f"{v}_smoke_parity_maxdiff": round(pd, 6),
-                          "ok": ok}), flush=True)
-    pl.pallas_call = real_call
+    with interpret_pallas():
+        rng = np.random.default_rng(0)
+        base, biases = _make_args(rng)
+        args = _args_for("shipped", base, biases)
+        ref_cache = {}
+        for v in VARIANTS[1:]:
+            pd = check_parity(v, args, _args_for(v, base, biases), ref_cache)
+            ok = pd <= 0.05
+            failures += not ok
+            print(json.dumps({f"{v}_smoke_parity_maxdiff": round(pd, 6),
+                              "ok": ok}), flush=True)
     sys.exit(1 if failures else 0)
 
 

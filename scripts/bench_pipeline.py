@@ -102,6 +102,10 @@ def main() -> None:
                   ParallelConfig(data=D // 4, lat=2, lon=2))
 
     # PP x DP
+    if args.devices < NUM_STAGES:
+        raise SystemExit(
+            f"pipeline layout needs at least {NUM_STAGES} devices "
+            f"(one group per stage); got --devices {args.devices}")
     c = cfg.replace(parallel=ParallelConfig(data=args.devices // NUM_STAGES,
                                             pipe=NUM_STAGES))
     mesh = make_mesh(c.parallel)
@@ -118,7 +122,8 @@ def main() -> None:
     for _ in range(args.steps):
         pstate, ploss = pstep(pstate, batch, aux)
     jax.block_until_ready(ploss)
-    results[f"pp4_dp{args.devices // NUM_STAGES}_m{args.microbatches}"] = (
+    results[f"pp{NUM_STAGES}_dp{args.devices // NUM_STAGES}"
+            f"_m{args.microbatches}"] = (
         time.perf_counter() - t0) / args.steps
 
     S, M = NUM_STAGES, args.microbatches

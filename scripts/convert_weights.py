@@ -61,6 +61,8 @@ def main() -> None:
         print(f"wrote {args.out}" + (f" and aux files to {args.aux_out}"
                                      if args.aux_out else ""))
     elif args.pth:
+        if not args.out:
+            raise SystemExit("--pth needs --out")
         from pangu_tpu.interop.npz_io import save_params_npz
         from pangu_tpu.interop.torch_import import (
             load_torch_checkpoint,
@@ -81,6 +83,10 @@ def main() -> None:
                  for k, v in state_dict_from_params(cfg, params).items()}
         torch.save({"model": state}, args.out_pth)
         print(f"wrote {args.out_pth}")
+    elif args.npz:
+        # named an input but not where it should go — say so, instead of
+        # the generic fallthrough
+        raise SystemExit("--npz needs --out-pth")
     else:
         raise SystemExit("nothing to do; see --help")
 

@@ -41,4 +41,7 @@ for year in $(seq "${YEAR_START}" "${YEAR_END}"); do
 done
 
 echo "done; convert with: python scripts/convert_data.py --src ${DST} \\"
-echo "  --format netcdf --dst ${DST}_npy --start ${YEAR_START}0101 --end $((YEAR_END+1))0101"
+# --end is INCLUSIVE: the last fetched frame is YEAR_END-12-31 12:00 (12h
+# cadence); naming Jan 1 of the next year would abort the ETL on a file
+# this script never downloaded
+echo "  --format netcdf --dst ${DST}_npy --start ${YEAR_START}0101 --end \"${YEAR_END}1231 12:00:00\""

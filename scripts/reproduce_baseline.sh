@@ -138,8 +138,13 @@ done
   bash scripts/download_era5.sh s3://nsf-ncar-era5 "$WORK/era5_nc" 2018 2018
 [ -d "$WORK/era5_npy" ] || \
   python scripts/convert_data.py --src "$WORK/era5_nc" --dst "$WORK/era5_npy" \
-    --format netcdf --start "20180101 00:00:00" --end "20190101 00:00:00" \
+    --format netcdf --start "20180101 00:00:00" --end "20181231 12:00:00" \
     --freq 12h
+    # --end is INCLUSIVE (pd.date_range); 20190101 00:00 would demand
+    # 2019 files the step-3 download never fetched and abort the ETL at
+    # its very last frame. The scoring dataset below may still use a
+    # 20190101 test_end: the reference length rule drops trailing inits,
+    # so no 2019 frame is ever loaded.
 
 # 4. Score the 24 h model on 2018 at 00:00/12:00 UTC (the reference's
 #    test() protocol; writes rmse_*/acc_* CSVs).

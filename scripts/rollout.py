@@ -79,12 +79,23 @@ def main() -> None:
     bundles = {cfg.horizon: base}
     for h, w in ((24, args.weights_24), (6, args.weights_6),
                  (3, args.weights_3), (1, args.weights_1)):
-        if w is not None and h not in bundles:
+        if w is None:
+            continue
+        if h == cfg.horizon and args.weights is None:
+            # --weights-<h> naming the BASE horizon replaces the base
+            # bundle: silently keeping `base` here would score a
+            # randomly initialized model on the ladder's own rung
+            hcfg = cfg
+        elif h in bundles:
+            continue
+        else:
             hcfg = cfg.replace(horizon=h)
-            # aux is horizon-keyed (constantMask{h}.npy, the horizon's land
-            # mask — pangu_tpu/aux.py); each bundle must load its own
-            h_aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, h)
-            bundles[h] = _bundle_for(hcfg, args, h_aux, h, w)
+        # aux is horizon-keyed (constantMask{h}.npy, the horizon's land
+        # mask — pangu_tpu/aux.py); each bundle must load its own
+        h_aux = load_aux_constants(cfg.model, cfg.train, args.aux_dir, h)
+        bundles[h] = _bundle_for(hcfg, args, h_aux, h, w)
+        if h == cfg.horizon:
+            base = bundles[h]
 
     if args.mode == "iterative":
         missing = [h for h in (24, 6, 3, 1) if h not in bundles]

@@ -85,6 +85,47 @@ def test_rollout_cli_smoke(tmp_path, monkeypatch, tiny_ckpt):
     assert list(out.rglob("*.csv")), "rollout CLI wrote no score CSVs"
 
 
+def test_rollout_base_horizon_weights_used(tmp_path, monkeypatch, tiny_ckpt):
+    """--weights-24 naming the BASE horizon (24, with no --weights) must
+    load that checkpoint for the 24h rung — before the round-4 scripts
+    review fix the `h not in bundles` guard skipped it and the ladder
+    scored a randomly initialized base bundle."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rollout_cli_reg", os.path.join(root, "scripts", "rollout.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    calls = []
+    real_bundle_for = mod._bundle_for
+
+    def recording_bundle_for(cfg, args, aux, horizon, weights):
+        bundle = real_bundle_for(cfg, args, aux, horizon, weights)
+        calls.append((horizon, weights, bundle))
+        return bundle
+
+    captured = {}
+    monkeypatch.setattr(mod, "_bundle_for", recording_bundle_for)
+    monkeypatch.setattr(
+        mod, "multi_output_rollout",
+        lambda bundles, *a, **k: captured.update(bundles=bundles))
+    monkeypatch.setattr(sys, "argv", [
+        "rollout.py", "--preset", "tiny", "--out", str(tmp_path),
+        "--mode", "multi", "--weights-24", tiny_ckpt, "--lead-days", "1",
+        *_TINY_DATES,
+    ])
+    mod.main()
+
+    loaded = [b for h, w, b in calls if h == 24 and w == tiny_ckpt]
+    assert loaded, (
+        "the 24h rung never loaded --weights-24 "
+        f"(calls: {[(h, w) for h, w, _ in calls]})")
+    # and the bundle handed to the rollout is the checkpoint-loaded one,
+    # not the weightless base
+    assert captured["bundles"][24] is loaded[0], (
+        "rollout still uses the randomly initialized base bundle")
+
+
 def test_reproduce_baseline_dry_run(tmp_path):
     """The acceptance pipeline's wiring stays runnable: synthetic-ONNX
     weights -> convert -> .pt ETL -> npy store -> test() scoring -> verdict
