@@ -15,11 +15,29 @@ fields). Field numbers from onnx.proto3:
   NodeProto:   input=1, output=2, name=3, op_type=4, attribute=5
   AttributeProto: name=1, f=2, i=3, s=4, t=5, type=20
   TensorProto: dims=1, data_type=2, float_data=4, int32_data=5,
-               int64_data=7, name=8, raw_data=9, double_data=10
+               int64_data=7, name=8, raw_data=9, double_data=10,
+               external_data=13 (StringStringEntry key=1 value=2),
+               data_location=14 (0=DEFAULT, 1=EXTERNAL)
+
+Scale notes (the official weight files are ~1 GB ModelProtos; the reference
+loads them whole with the onnx package, models/onnx2torch.py:36-43):
+
+  * ``load_graph`` maps the file with ``mmap`` — no full-file RAM copy; the
+    OS pages bytes in as the parse walks them.
+  * Decoded tensors are ZERO-COPY read-only views into the mapped file
+    (``np.frombuffer`` over the raw_data span); the mapping stays alive for
+    as long as any returned array does. Callers that mutate must ``.copy()``.
+  * Field/message lengths are plain varints all the way down, so raw_data
+    blobs past 2**31 bytes decode like any other (protobuf's int32 size cap
+    is a library choice the wire format itself does not have).
+  * External-data tensors (``data_location=EXTERNAL``) resolve their
+    ``location`` relative to the model file's directory, mmap'ed the same
+    zero-copy way; absolute or directory-escaping locations are rejected.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -80,12 +98,57 @@ def _iter_fields(buf: memoryview):
         yield fnum, wtype, val
 
 
-def _decode_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
+def _mmap_view(path: str) -> memoryview:
+    """Read-only memoryview over a whole file via mmap (zero-copy; pages
+    stream in on access). The mapping stays alive while any view — and any
+    np.frombuffer array built over one — references it."""
+    import mmap
+
+    with open(path, "rb") as f:
+        if os.fstat(f.fileno()).st_size == 0:
+            return memoryview(b"")
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    return memoryview(mm)
+
+
+def _load_external(ext: Dict[str, str], base_dir: Optional[str],
+                   name: str) -> memoryview:
+    """Raw bytes of an external-data tensor (data_location=EXTERNAL): mmap
+    the ``location`` file relative to the model's directory and slice
+    [offset, offset+length). Rejects absolute and directory-escaping
+    locations (the ONNX spec requires a relative path)."""
+    loc = ext.get("location", "")
+    if not loc:
+        raise ValueError(f"tensor {name!r}: external data without a location")
+    if base_dir is None:
+        raise ValueError(
+            f"tensor {name!r} stores its data externally in {loc!r}; decode "
+            f"via load_graph(path) so the model directory is known")
+    base = os.path.abspath(base_dir)
+    full = os.path.abspath(os.path.join(base, loc))
+    if os.path.isabs(loc) or os.path.commonpath([base, full]) != base:
+        raise ValueError(
+            f"tensor {name!r}: external location {loc!r} escapes the model "
+            f"directory")
+    view = _mmap_view(full)
+    offset = int(ext.get("offset", "0") or 0)
+    length = int(ext.get("length", "0") or 0) or (len(view) - offset)
+    if offset + length > len(view):
+        raise ValueError(
+            f"tensor {name!r}: external span [{offset}, {offset + length}) "
+            f"exceeds {loc!r} ({len(view)} bytes)")
+    return view[offset:offset + length]
+
+
+def _decode_tensor(buf: memoryview,
+                   base_dir: Optional[str] = None) -> Tuple[str, np.ndarray]:
     dims: List[int] = []
     data_type = 1
     name = ""
     raw: Optional[memoryview] = None
     typed: Optional[np.ndarray] = None
+    ext: Dict[str, str] = {}
+    data_location = 0
     for fnum, wtype, val in _iter_fields(buf):
         if fnum == 1:  # dims (packed or unpacked varints)
             if wtype == 0:
@@ -112,11 +175,25 @@ def _decode_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
                 v, p = _read_varint(val, p)
                 vals.append(v)
             typed = np.asarray(vals, dtype=np.int64 if fnum == 7 else np.int32)
+        elif fnum == 13:  # external_data: StringStringEntry {key=1, value=2}
+            k = v = None
+            for efn, _, eval_ in _iter_fields(val):
+                if efn == 1:
+                    k = bytes(eval_).decode()
+                elif efn == 2:
+                    v = bytes(eval_).decode()
+            if k is not None:
+                ext[k] = v or ""
+        elif fnum == 14:
+            data_location = val
     dtype = _DTYPES.get(data_type)
     if dtype is None:
         raise ValueError(f"tensor {name!r}: unsupported data_type {data_type}")
+    if data_location == 1:  # EXTERNAL
+        raw = _load_external(ext, base_dir, name)
     if raw is not None:
-        arr = np.frombuffer(bytes(raw), dtype=np.dtype(dtype).newbyteorder("<"))
+        # zero-copy read-only view into the mapped file (see module note)
+        arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
     elif typed is not None:
         arr = typed.astype(dtype)
     else:
@@ -150,7 +227,8 @@ class OnnxGraph:
         }
 
 
-def _decode_node(buf: memoryview) -> OnnxNode:
+def _decode_node(buf: memoryview,
+                 base_dir: Optional[str] = None) -> OnnxNode:
     inputs: List[str] = []
     outputs: List[str] = []
     name = ""
@@ -172,7 +250,7 @@ def _decode_node(buf: memoryview) -> OnnxNode:
                 if afn == 1:
                     aname = bytes(aval).decode()
                 elif afn == 5:
-                    _, atensor = _decode_tensor(aval)
+                    _, atensor = _decode_tensor(aval, base_dir)
                 elif afn == 3:
                     aint = aval
             if aname == "value" and atensor is not None:
@@ -183,11 +261,16 @@ def _decode_node(buf: memoryview) -> OnnxNode:
 
 
 def load_graph(path: str) -> OnnxGraph:
-    """Parse an .onnx file into nodes + initializers (+ Constant payloads)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    """Parse an .onnx file into nodes + initializers (+ Constant payloads).
+
+    The file is mmap'ed, not read: tensors come back as zero-copy read-only
+    views over the mapping (pages stream in on first touch), so a multi-GB
+    weight file decodes without a full-size RAM copy. External-data tensors
+    resolve relative to the file's directory."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    data = _mmap_view(path)
     graph_buf = None
-    for fnum, _, val in _iter_fields(memoryview(data)):
+    for fnum, _, val in _iter_fields(data):
         if fnum == 7:
             graph_buf = val
     if graph_buf is None:
@@ -196,9 +279,9 @@ def load_graph(path: str) -> OnnxGraph:
     initializers: Dict[str, np.ndarray] = {}
     for fnum, _, val in _iter_fields(graph_buf):
         if fnum == 1:
-            nodes.append(_decode_node(val))
+            nodes.append(_decode_node(val, base_dir))
         elif fnum == 5:
-            name, arr = _decode_tensor(val)
+            name, arr = _decode_tensor(val, base_dir)
             initializers[name] = arr
     return OnnxGraph(nodes, initializers)
 
@@ -243,6 +326,31 @@ def encode_tensor(name: str, arr: np.ndarray) -> bytes:
     out += _str_field(8, name)
     out += _len_field(9, arr.astype(arr.dtype.newbyteorder("<"), copy=False)
                       .tobytes())
+    return bytes(out)
+
+
+def encode_external_tensor(name: str, shape: Tuple[int, ...], dtype,
+                           location: str, offset: int = 0,
+                           length: int = 0) -> bytes:
+    """TensorProto with data_location=EXTERNAL: metadata only — the caller
+    writes the raw little-endian payload into ``location`` itself (the layout
+    onnx.external_data_helper produces for >2 GB weight files)."""
+    code = _DTYPE_CODES.get(np.dtype(dtype))
+    if code is None:
+        raise ValueError(f"unsupported dtype {dtype}")
+    out = bytearray()
+    for d in shape:
+        out += _tag(1, 0) + _varint(d)
+    out += _tag(2, 0) + _varint(code)
+    out += _str_field(8, name)
+    entries = [("location", location)]
+    if offset:
+        entries.append(("offset", str(offset)))
+    if length:
+        entries.append(("length", str(length)))
+    for k, v in entries:
+        out += _len_field(13, _str_field(1, k) + _str_field(2, v))
+    out += _tag(14, 0) + _varint(1)  # data_location = EXTERNAL
     return bytes(out)
 
 

@@ -276,6 +276,136 @@ def test_convert_checkpoint_end_to_end(synthetic, tmp_path):
             == jax.tree_util.tree_structure(params))
 
 
+# ---------------------------------------------------------------------------
+# real-scale file robustness (round-4 verdict #5): external-data tensors,
+# >2**31-byte blobs decoded without a full-file RAM copy, field-order fuzz
+# ---------------------------------------------------------------------------
+
+def test_external_data_tensor_roundtrip(tmp_path):
+    """data_location=EXTERNAL initializers (onnx.external_data_helper layout,
+    used by the wild >2 GB exports) decode from the side-car file, sliced at
+    offset/length, as zero-copy views."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((4, 6)).astype(np.float32)
+    b = rng.standard_normal((8,)).astype(np.float32)
+    pad = b"\xaa" * 13  # offsets need not be aligned
+    with open(tmp_path / "weights.bin", "wb") as f:
+        f.write(pad + a.tobytes() + b.tobytes())
+    nodes = [wire.encode_node("MatMul", ["x", "w_a"], ["y"])]
+    graph = bytearray()
+    for n in nodes:
+        graph += wire._len_field(1, n)
+    graph += wire._len_field(5, wire.encode_external_tensor(
+        "w_a", a.shape, np.float32, "weights.bin",
+        offset=len(pad), length=a.nbytes))
+    # length omitted -> rest of file
+    graph += wire._len_field(5, wire.encode_external_tensor(
+        "w_b", b.shape, np.float32, "weights.bin",
+        offset=len(pad) + a.nbytes))
+    model = wire._tag(1, 0) + wire._varint(8) + wire._len_field(7, bytes(graph))
+    path = tmp_path / "ext.onnx"
+    path.write_bytes(model)
+
+    g = wire.load_graph(str(path))
+    np.testing.assert_array_equal(g.initializers["w_a"], a)
+    np.testing.assert_array_equal(g.initializers["w_b"], b)
+    assert not g.initializers["w_a"].flags["OWNDATA"]  # view, not a copy
+
+
+def test_external_data_rejects_escaping_location(tmp_path):
+    (tmp_path / "m").mkdir()
+    graph = wire._len_field(5, wire.encode_external_tensor(
+        "w", (2,), np.float32, "../escape.bin"))
+    model = wire._tag(1, 0) + wire._varint(8) + wire._len_field(7, graph)
+    path = tmp_path / "m" / "bad.onnx"
+    path.write_bytes(model)
+    with pytest.raises(ValueError, match="escapes the model directory"):
+        wire.load_graph(str(path))
+
+
+def test_huge_initializer_streams_without_copy(tmp_path):
+    """A raw_data blob past 2**31 bytes (the int32 cliff real ~1-4 GB weight
+    files sit near) decodes correctly and as a zero-copy view over the mmap —
+    the file is written SPARSE so the test costs neither disk nor time."""
+    import shutil
+
+    if shutil.disk_usage(tmp_path).free < 6 << 30:
+        pytest.skip("needs 6 GB free for a worst-case non-sparse filesystem")
+    n = (2**31 + 64) // 4  # float32 count -> 2 GiB + 64 B of raw_data
+    nbytes = 4 * n
+    tensor_head = (wire._tag(1, 0) + wire._varint(n)      # dims
+                   + wire._tag(2, 0) + wire._varint(1)    # data_type FLOAT
+                   + wire._str_field(8, "big")
+                   + wire._tag(9, 2) + wire._varint(nbytes))
+    tensor_len = len(tensor_head) + nbytes
+    graph_head = wire._tag(5, 2) + wire._varint(tensor_len)
+    graph_len = len(graph_head) + tensor_len
+    path = tmp_path / "big.onnx"
+    with open(path, "wb") as f:
+        f.write(wire._tag(1, 0) + wire._varint(8)
+                + wire._tag(7, 2) + wire._varint(graph_len)
+                + graph_head + tensor_head)
+        f.seek(nbytes - 8, os.SEEK_CUR)   # sparse zero payload ...
+        f.write(np.float32([7.5, -3.0]).tobytes())  # ... with a marker tail
+    assert os.path.getsize(path) > 2**31
+
+    g = wire.load_graph(str(path))
+    arr = g.initializers["big"]
+    assert arr.shape == (n,) and arr.dtype == np.float32
+    assert not arr.flags["OWNDATA"] and not arr.flags["WRITEABLE"]  # mmap view
+    assert arr[0] == 0.0 and arr[n // 2] == 0.0
+    assert arr[-2] == 7.5 and arr[-1] == -3.0
+
+
+def test_field_order_fuzz(tmp_path):
+    """Protobuf messages carry NO field-order guarantee; real exporters
+    interleave (onnxruntime writes name-first, torch.onnx dims-last). Every
+    permutation of tensor / node / graph / model field chunks must decode
+    identically."""
+    rng = np.random.default_rng(23)
+    arr = rng.standard_normal((3, 5)).astype(np.float32)
+
+    tensor_chunks = [
+        b"".join(wire._tag(1, 0) + wire._varint(d) for d in arr.shape),
+        wire._tag(2, 0) + wire._varint(1),
+        wire._str_field(8, "w"),
+        wire._len_field(9, arr.tobytes()),
+    ]
+    node_chunks = [
+        wire._str_field(1, "x"), wire._str_field(1, "w"),
+        wire._str_field(2, "y"),
+        wire._str_field(3, "mm0"), wire._str_field(4, "MatMul"),
+    ]
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        t_order = r.permutation(len(tensor_chunks))
+        # repeated fields (inputs) must keep their relative order; permute
+        # around them by keeping chunk 0 before chunk 1
+        n_order = list(r.permutation(len(node_chunks)))
+        if n_order.index(0) > n_order.index(1):
+            i, j = n_order.index(0), n_order.index(1)
+            n_order[i], n_order[j] = n_order[j], n_order[i]
+        tensor = b"".join(tensor_chunks[i] for i in t_order)
+        node = b"".join(node_chunks[i] for i in n_order)
+        graph_chunks = [wire._len_field(1, node),
+                        wire._str_field(2, "g"),
+                        wire._len_field(5, tensor)]
+        graph = b"".join(graph_chunks[i]
+                         for i in r.permutation(len(graph_chunks)))
+        model_chunks = [wire._tag(1, 0) + wire._varint(8),
+                        wire._len_field(7, graph)]
+        model = b"".join(model_chunks[i]
+                         for i in r.permutation(len(model_chunks)))
+        path = tmp_path / f"fuzz{seed}.onnx"
+        path.write_bytes(model)
+        g = wire.load_graph(str(path))
+        np.testing.assert_array_equal(g.initializers["w"], arr)
+        (node_obj,) = g.nodes
+        assert node_obj.op_type == "MatMul"
+        assert node_obj.inputs == ("x", "w")
+        assert node_obj.outputs == ("y",)
+
+
 def test_derive_rejects_wrong_geometry(tmp_path):
     """A graph from a different geometry fails loudly, not silently."""
     cfg = pangu_tiny().model
