@@ -99,14 +99,61 @@ class NetCDFStore:
     (reference NetCDFDataset, era5_data/utils_data.py:113-229): variables
     [z,q,t,u,v] with the level axis flipped to data order, [msl,u10,v10,t2m]
     surface, finite-slice expver resolution (see _sel_time). Gated on
-    xarray."""
+    xarray.
 
-    def __init__(self, root: str):
+    Open dataset handles are kept in a bounded LRU (``cache_size`` files,
+    thread-safe): a monthly surface file covers up to 744 hourly timestamps
+    and a rollout eval walks them back to back — the reference reopens both
+    files on every sample (utils_data.py:146-149); here each file is opened
+    once per residency. Evicted handles are closed."""
+
+    def __init__(self, root: str, cache_size: int = 8):
         import importlib.util
 
         if importlib.util.find_spec("xarray") is None:
             raise ImportError("NetCDFStore requires xarray")
+        self._init_state(root, cache_size)
+
+    def _init_state(self, root: str, cache_size: int) -> None:
+        """Cache plumbing, split from __init__ so tests can exercise the LRU
+        with a fake opener on hosts without xarray."""
+        from collections import OrderedDict
+
         self.root = root
+        self.cache_size = max(1, cache_size)
+        self._cache: "OrderedDict[str, object]" = OrderedDict()
+        self._lock = threading.Lock()
+
+    def _open_dataset(self, path: str):
+        import xarray as xr
+
+        return xr.open_dataset(path)
+
+    def _open(self, path: str):
+        """LRU-cached open: a hit refreshes recency; a miss opens (holding
+        the lock — loads come from one prefetch thread, so serializing the
+        occasional open is cheaper than double-open races) and evicts +
+        closes the stalest handle past ``cache_size``."""
+        with self._lock:
+            ds = self._cache.pop(path, None)
+            if ds is None:
+                ds = self._open_dataset(path)
+            self._cache[path] = ds
+            while len(self._cache) > self.cache_size:
+                _, old = self._cache.popitem(last=False)
+                close = getattr(old, "close", None)
+                if close is not None:
+                    close()
+            return ds
+
+    def close(self) -> None:
+        """Close every cached handle (idempotent)."""
+        with self._lock:
+            while self._cache:
+                _, old = self._cache.popitem(last=False)
+                close = getattr(old, "close", None)
+                if close is not None:
+                    close()
 
     @staticmethod
     def _sel_time(ds, t: datetime):
@@ -131,13 +178,11 @@ class NetCDFStore:
         return chosen
 
     def load(self, t: datetime) -> Tuple[np.ndarray, np.ndarray]:
-        import xarray as xr
-
         s = time_str(t)
-        sfc = self._sel_time(xr.open_dataset(
+        sfc = self._sel_time(self._open(
             os.path.join(self.root, "surface", f"surface_{s[:6]}.nc")
         ), t)
-        upp = self._sel_time(xr.open_dataset(
+        upp = self._sel_time(self._open(
             os.path.join(self.root, "upper", f"upper_{s[:8]}.nc")
         ), t)
 

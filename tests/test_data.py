@@ -248,6 +248,71 @@ def test_netcdf_expver_resolution():
     assert np.isfinite(sub.data_vars["msl"].values).all()
 
 
+def test_netcdf_lru_handle_cache():
+    """NetCDFStore opens each .nc file once per cache residency: a month of
+    hourly loads hits the monthly surface file's cached handle instead of
+    reopening it per sample (round-4 verdict #8; the reference reopens both
+    files every load, utils_data.py:146-149). Eviction closes the stalest
+    handle; a re-touch refreshes recency."""
+    from datetime import datetime
+
+    from pangu_tpu.data.dataset import NetCDFStore
+
+    opens, closes = [], []
+
+    class FakeVar:
+        def __init__(self, values):
+            self.values = np.asarray(values)
+
+    class FakeDs:
+        def __init__(self, path):
+            self.path = path
+            self.dims, self.coords = ("time",), ("time",)
+
+        def __contains__(self, k):
+            return False
+
+        def sel(self, time=None):
+            f = np.ones((2, 3, 4), np.float32)
+            vars_ = {v: FakeVar(f) for v in ("z", "q", "t", "u", "v",
+                                             "msl", "u10", "v10", "t2m")}
+
+            class Sub:
+                data_vars = vars_
+
+                def __getitem__(s, k):
+                    return vars_[k]
+            return Sub()
+
+        def close(self):
+            closes.append(self.path)
+
+    store = NetCDFStore.__new__(NetCDFStore)  # skip the xarray gate
+    store._init_state("/era5", cache_size=2)
+    store._open_dataset = lambda path: (opens.append(path), FakeDs(path))[1]
+
+    # 3 hourly loads in one month/day: 2 files opened ONCE, not 6 times
+    for h in range(3):
+        u, s = store.load(datetime(2023, 1, 5, h))
+        assert u.shape == (5, 2, 3, 4) and s.shape == (4, 2, 3, 4)
+    assert len(opens) == 2 and not closes
+
+    # next day: new upper file evicts the stalest handle (the old upper —
+    # the surface handle was re-touched more recently)
+    store.load(datetime(2023, 1, 6, 0))
+    assert len(opens) == 3
+    assert closes == ["/era5/upper/upper_20230105.nc"]
+
+    # back to day 5: its upper handle was evicted -> reopened (and the
+    # day-6 handle, now stalest, is evicted + closed in turn)
+    store.load(datetime(2023, 1, 5, 3))
+    assert len(opens) == 4
+    assert closes[1] == "/era5/upper/upper_20230106.nc"
+
+    store.close()  # the 2 resident handles
+    assert len(closes) == 4 and not store._cache
+
+
 def test_eval_loader_keeps_tail_batch():
     """val/test loaders must score EVERY sample: with batch_size=2 over an
     odd-length range the tail sample rides a final partial batch instead of
