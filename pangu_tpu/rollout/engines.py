@@ -68,6 +68,23 @@ class ModelBundle:
         return self._step
 
 
+def _warn_lead_time_quirk(steps: int, horizon: int) -> None:
+    """Warn when the reference's lead-time mislabeling is selected: with
+    ``test_freq < horizon`` (steps > 1) every scored frame is recorded under
+    the dataset's t+{horizon}h label while its physical lead is
+    steps x horizon hours (reference inference_singleOutput.py:135-153
+    proceeds silently; round-4 verdict #6 asked for a runtime warning)."""
+    if steps > 1:
+        _log.warning(
+            "lead-time quirk: %d applications of the %dh model advance the "
+            "state %dh, but scores are recorded under the t+%dh label "
+            "(reference inference_singleOutput.py:135-153 bookkeeping, "
+            "preserved for parity). Use test_freq == horizon for "
+            "physically-labeled scores.",
+            steps, horizon, steps * horizon, horizon,
+        )
+
+
 def _new_score_dicts():
     return (
         {f: {} for f in RMSE_FAMILIES},
@@ -100,7 +117,10 @@ def single_output_eval(
     application, so the final frame's physical lead is
     ``steps * horizon`` — the reference's per-step ``current_time`` advances
     only ``freq`` and its alignment assert passes regardless. Use
-    ``test_freq == horizon`` (1 step) for physically-labeled scores."""
+    ``test_freq == horizon`` (1 step) for physically-labeled scores.
+    Selecting the misleading configuration logs a loud warning (round-4
+    verdict #6) — the reference proceeds silently."""
+    _warn_lead_time_quirk(steps, bundle.horizon)
     step_fn = bundle.forecast_step()
     scorer = jitted_field_scorer(cfg)
     rmse_scores, acc_scores = _new_score_dicts()

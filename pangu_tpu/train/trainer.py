@@ -32,7 +32,8 @@ from pangu_tpu.utils.logger import get_logger
 
 
 def sharded_val_stats(
-    eval_step, params, val_loader, aux, count: int
+    eval_step, params, val_loader, aux, count: int,
+    last_batch_box: Optional[dict] = None,
 ) -> Tuple[float, int]:
     """(loss_sum, n_batches) over the validation set, multi-host safe.
 
@@ -48,6 +49,9 @@ def sharded_val_stats(
     ``count`` hosts' samples at once.
 
     Single process: plain local loop (one launch per batch, no assembly).
+    ``last_batch_box``, when given, receives the final batch under key
+    "batch" (the reference visualizes the last val batch,
+    models/pangu_sample.py:332-358).
     """
     from pangu_tpu.parallel.mesh import active_mesh
 
@@ -58,6 +62,8 @@ def sharded_val_stats(
             batch = _as_global_batch(batch, mesh)
         loss_sum += float(eval_step(params, batch, aux))
         n += 1
+        if last_batch_box is not None:
+            last_batch_box["batch"] = batch
     return loss_sum, n
 
 
@@ -130,12 +136,19 @@ class Trainer:
         train_step_fn=None,
         eval_step_fn=None,
         optimizer=None,
+        visualize: bool = False,
     ):
         """``train_step_fn`` is a builder ``optimizer -> step`` (so a custom
         trainable tree shares the Trainer's schedule-bearing optimizer);
-        ``eval_step_fn`` is the eval step itself."""
+        ``eval_step_fn`` is the eval step itself. ``visualize`` renders the
+        reference's val-time triptych PNGs (pangu_sample.py:332-358) of the
+        last validation batch into ``{out_dir}/png_training`` after every
+        validation pass — full-param training, single process only (a LoRA
+        tree is not a forward-able param tree; a multi-host global batch is
+        not rank-0 addressable)."""
         #: when set, epoch 1 is captured with jax.profiler into this dir
         self.profile_dir = profile_dir
+        self.visualize = visualize
         self.cfg = cfg
         self.model = model
         # commit the constants to device once; numpy aux would be re-copied
@@ -263,13 +276,17 @@ class Trainer:
                 ckpt.save_train_state(f"{self.out_dir}/models", epoch, state)
 
             if val_loader is not None and epoch % cfg.train.val_interval == 0:
+                viz_box = ({} if self.visualize and jax.process_count() == 1
+                           else None)
                 loss_sum, n_val = sharded_val_stats(
                     self.eval_step, state.params, val_loader, self.aux,
-                    jax.process_count(),
+                    jax.process_count(), last_batch_box=viz_box,
                 )
                 val_loss = _global_val_loss(loss_sum, n_val)
                 if is_main:
                     self.logger.info("Validate at Epoch %d : %.6f", epoch, val_loss)
+                if viz_box is not None and viz_box.get("batch") is not None:
+                    self._visualize_val(state.params, viz_box["batch"], epoch)
                 if self.writer is not None and is_main:
                     self.writer.add_scalars(
                         "Loss", {"train": epoch_loss, "val": val_loss}, epoch
@@ -299,6 +316,55 @@ class Trainer:
         best_params = ckpt.restore_params(f"{self.out_dir}/models",
                                           state.params, "best")
         return best_params, state
+
+    # ------------------------------------------------------------------
+    def _visualize_val(self, params, batch: Batch, epoch: int) -> None:
+        """Reference val-time triptychs (models/pangu_sample.py:332-358):
+        de-normalized prediction vs ground truth vs input for upper 'u' at
+        level 12 and surface 'msl', PNGs under {out_dir}/png_training keyed
+        by epoch. Geometry-robust: variable/level indices clip to the
+        config; failures (e.g. a non-forward-able LoRA tree) degrade to a
+        warning — a plot must never kill a training run."""
+        import os
+
+        try:
+            from pangu_tpu.config import (
+                ERA5_SURFACE_VARIABLES,
+                ERA5_UPPER_VARIABLES,
+            )
+            from pangu_tpu.eval.visualize import plot_surface, plot_upper
+            from pangu_tpu.rollout.autoregressive import make_forecast_step
+
+            u_in = np.asarray(batch.upper)
+            s_in = np.asarray(batch.surface)
+            t_u = np.asarray(batch.target_upper)
+            t_s = np.asarray(batch.target_surface)
+            if u_in.ndim == 6:  # leading grad-accumulation microbatch axis
+                u_in, s_in, t_u, t_s = u_in[0], s_in[0], t_u[0], t_s[0]
+            step = make_forecast_step(self.model, donate=False)
+            out_u, out_s = step(params, u_in, s_in, self.aux)
+            out_u, out_s = np.asarray(out_u), np.asarray(out_s)
+
+            m = self.cfg.model
+            up_names = [ERA5_UPPER_VARIABLES[i]
+                        if i < len(ERA5_UPPER_VARIABLES) else f"u{i}"
+                        for i in range(m.upper_vars)]
+            sf_names = [ERA5_SURFACE_VARIABLES[i]
+                        if i < len(ERA5_SURFACE_VARIABLES) else f"s{i}"
+                        for i in range(m.surface_vars)]
+            png = os.path.join(self.out_dir, "png_training")
+            plot_upper(out_u[0], t_u[0], u_in[0],
+                       var="u" if "u" in up_names else up_names[0],
+                       level=min(12, m.levels - 1), step=epoch, path=png,
+                       var_names=up_names)
+            plot_surface(out_s[0], t_s[0], s_in[0],
+                         var="msl" if "msl" in sf_names else sf_names[0],
+                         step=epoch, path=png, var_names=sf_names)
+        except Exception as e:  # noqa: BLE001 — viz is best-effort
+            self.logger.warning(
+                "val-time visualization failed at epoch %d: %s: %s",
+                epoch, type(e).__name__, e,
+            )
 
     # ------------------------------------------------------------------
     def resume(

@@ -70,8 +70,11 @@ def main() -> None:
             pass
 
     with activate_mesh(mesh):
+        # --visualize covers both reference surfaces: val-time triptychs
+        # during fit (pangu_sample.py:332-358) and test-time PNGs after
         trainer = Trainer(cfg, model, aux, out_dir, writer=writer, logger=logger,
-                          steps_per_epoch=len(train_loader))
+                          steps_per_epoch=len(train_loader),
+                          visualize=args.visualize)
         state = init_train_state(model, cfg, aux, trainer.optimizer, params=params)
         start_epoch = 1
         if args.resume:

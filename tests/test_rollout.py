@@ -116,6 +116,34 @@ def test_single_output_eval_multi_step(setup, tmp_path):
     assert not np.allclose(a.values, b.values)
 
 
+def test_single_output_lead_time_quirk_warning(setup, tmp_path, caplog):
+    """test_freq < horizon logs the physical lead next to the recorded label
+    (round-4 verdict #6); the physically-labeled steps=1 path stays quiet."""
+    import logging
+
+    cfg, model, params, aux, *_ = setup
+    cfg = cfg.replace(data=DataConfig(
+        test_start="20180101", test_end="20180103", test_freq="12h",
+        prefetch=0,
+    ))
+    bundle = ModelBundle(model, params, aux, cfg.horizon)
+
+    with caplog.at_level(logging.WARNING, logger="pangu_tpu.rollout"):
+        loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
+        single_output_eval(bundle, loader, cfg, str(tmp_path / "q"),
+                           steps=cfg.horizon // 12)
+    msgs = [r.message for r in caplog.records if "lead-time quirk" in r.message]
+    assert len(msgs) == 1
+    assert f"{(cfg.horizon // 12) * cfg.horizon}h" in msgs[0]  # physical lead
+    assert f"t+{cfg.horizon}h label" in msgs[0]                # recorded label
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="pangu_tpu.rollout"):
+        loader = make_loader(cfg.data, cfg.model, "test", cfg.horizon, 1)
+        single_output_eval(bundle, loader, cfg, str(tmp_path / "ok"), steps=1)
+    assert not [r for r in caplog.records if "lead-time quirk" in r.message]
+
+
 def test_multi_output_rollout_strict_alignment(setup, tmp_path):
     """Frames that fall between dataset keys raise instead of silently
     truncating the CSVs (reference alignment assert,

@@ -144,6 +144,37 @@ def test_trainer_fit_and_early_stop(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_visualize_hook(setup, tmp_path):
+    """visualize=True renders the reference's val-time triptychs
+    (pangu_sample.py:332-358) of the last val batch into
+    {out_dir}/png_training after each validation pass (round-4 verdict #7):
+    upper 'u' at level min(12, levels-1) and surface 'msl', keyed by epoch."""
+    import dataclasses
+    import os
+
+    cfg, model, aux = setup
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=1))
+    train_loader = make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1)
+    val_loader = make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1)
+    trainer = Trainer(cfg, model, aux, str(tmp_path),
+                      steps_per_epoch=len(train_loader), visualize=True)
+    trainer.fit(train_loader, val_loader)
+
+    png = tmp_path / "png_training"
+    lvl = min(12, cfg.model.levels - 1)
+    upper_png = png / f"u_{lvl}_1.png"
+    surface_png = png / "msl_1.png"
+    assert upper_png.is_file() and upper_png.stat().st_size > 0
+    assert surface_png.is_file() and surface_png.stat().st_size > 0
+
+    # default stays off: no png dir appears without the flag
+    trainer2 = Trainer(cfg, model, aux, str(tmp_path / "off"),
+                       steps_per_epoch=len(train_loader))
+    trainer2.fit(make_loader(cfg.data, cfg.model, "train", cfg.horizon, 1),
+                 make_loader(cfg.data, cfg.model, "val", cfg.horizon, 1))
+    assert not os.path.isdir(tmp_path / "off" / "png_training")
+
+
 def test_resume_shuffle_continuity(setup):
     """A RESUMED run must continue the shuffle-order sequence, not replay
     epoch 1's order: Trainer.fit pins the loader's shuffle epoch to the
