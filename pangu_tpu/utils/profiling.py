@@ -23,6 +23,45 @@ def trace(log_dir: str) -> Iterator[None]:
         yield
 
 
+def trace_device_busy_ms(log_dir: str, steps: int = 1):
+    """Total DEVICE-lane op time (ms per step) in the newest trace-viewer
+    dump under ``log_dir``: the sum of 'X' events in the leaf "XLA Ops"
+    threads of TPU/device processes (container lanes — Steps, queues, the
+    jit umbrella — double-count everything beneath them and are excluded;
+    same lane selection as scripts/profile_train.py). Returns None when no
+    trace or no device lanes exist (e.g. CPU rehearsals) — callers treat
+    the field as optional."""
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return None
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    pnames, tnames = {}, {}
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    device_pids = {p for p, n in pnames.items()
+                   if "TPU" in n or "/device" in n.lower()}
+    op_lanes = {k for k, n in tnames.items()
+                if k[0] in device_pids and "XLA Ops" in n}
+    if not op_lanes:
+        return None
+    total_us = sum(e.get("dur", 0) for e in events
+                   if e.get("ph") == "X"
+                   and (e.get("pid"), e.get("tid")) in op_lanes)
+    return total_us / 1e3 / max(1, steps)
+
+
 def device_memory_stats() -> Dict[str, Dict[str, int]]:
     """Per-device live-memory counters where the backend exposes them."""
     out = {}

@@ -79,26 +79,28 @@ def test_train_export_roundtrip(tmp_path, monkeypatch):
 
     blob = tmp_path / "train_export_test.bin"
     monkeypatch.setattr(bench, "_train_export_blob_path",
-                        lambda _cfg: str(blob))
+                        lambda _cfg, _batch=1: str(blob))
 
-    # cold: traces, exports, and returns a call built from the
-    # serialize->deserialize round-trip (NOT the "lowered" fallback).
-    # Each box gets its own params copy: the call donates its state,
-    # whose buffers alias the params tree passed in.
+    # cold: traces, exports, and returns a program lowered through the
+    # serialize->deserialize round-trip (via="export-new", NOT the inline
+    # fallback). Each box gets its own params copy: the program donates its
+    # state, whose buffers alias the params tree passed in.
     box = bench._prelower_train(cfg, bench._make_train_objects(
         cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface))
-    assert "call" in box, box.get("error") or "fell back to inline lowering"
+    assert box.get("via") == "export-new", (
+        box.get("error") or f"unexpected path {box.get('via')}")
     assert blob.exists() and blob.stat().st_size > 0
-    state, total = box["call"](box["state"], box["batch"], aux,
-                               jnp.asarray(2, jnp.int32))
+    state, total = box["lowered"].compile()(box["state"], box["batch"], aux,
+                                            jnp.asarray(2, jnp.int32))
     assert jnp.isfinite(total)
 
     # warm: restores the blob (no re-trace) and the program still runs
     box2 = bench._prelower_train(cfg, bench._make_train_objects(
         cfg, model, aux, jax.tree.map(jnp.copy, params), upper, surface))
-    assert "call" in box2, box2.get("error") or "fell back to inline lowering"
-    _, total2 = box2["call"](box2["state"], box2["batch"], aux,
-                             jnp.asarray(1, jnp.int32))
+    assert box2.get("via") == "export-restore", (
+        box2.get("error") or f"unexpected path {box2.get('via')}")
+    _, total2 = box2["lowered"].compile()(box2["state"], box2["batch"], aux,
+                                          jnp.asarray(1, jnp.int32))
     assert jnp.isfinite(total2)
 
 
@@ -117,12 +119,7 @@ def test_budget_early_stop(monkeypatch):
     assert value == pytest.approx(0.2)
 
 
-@pytest.mark.slow
-def test_bench_main_protocol_tiny():
-    """The WHOLE bench flow (train phase first, insurance line, merged
-    final line) as the driver runs it — tiny geometry on CPU. Guards the
-    driver artifact: rounds 2 and 3 each lost a metric to an untested
-    path in this file. Asserts the output protocol, not the numbers."""
+def _run_bench_tiny(cache_dir, extra_env=None, timeout=500):
     import json
     import os
     import subprocess
@@ -131,22 +128,69 @@ def test_bench_main_protocol_tiny():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, PANGU_BENCH_TINY="1", PANGU_BENCH_PLATFORM="cpu",
                PANGU_BENCH_BUDGET="420", PANGU_BENCH_FWD_RESERVE="120",
-               PANGU_BENCH_FWD_REPS="2", PANGU_BENCH_TRAIN_REPS="2")
+               PANGU_BENCH_FWD_REPS="2", PANGU_BENCH_TRAIN_REPS="2",
+               PANGU_COMPILE_CACHE=str(cache_dir), **(extra_env or {}))
     res = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
-                         capture_output=True, text=True, timeout=500,
+                         capture_output=True, text=True, timeout=timeout,
                          cwd=root, env=env)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [json.loads(l) for l in res.stdout.splitlines()
              if l.startswith("{")]
+    return lines, res
+
+
+@pytest.mark.slow
+def test_bench_main_protocol_tiny(tmp_path):
+    """The WHOLE bench flow (both-cold -> train phase first, insurance
+    line, merged final line) as the driver runs it — tiny geometry on CPU
+    with a hermetic compile cache, so both programs are COLD and train
+    keeps priority (prime-run semantics). Guards the driver artifact:
+    rounds 2 and 3 each lost a metric to an untested path in this file.
+    Asserts the output protocol, not the numbers."""
+    lines, res = _run_bench_tiny(tmp_path / "cache")
     assert len(lines) == 2, res.stdout
     insurance, final = lines
     # insurance line: train metric, flushed before the forward phase
     assert insurance["metric"] == "train_step_time_s"
     assert insurance["train_step_time_s"] is not None
     assert insurance["train_step_time_s"] > 0
+    assert insurance["phase_order"] == "train-first"
+    assert insurance["train_probe"] == "cold"  # hermetic cache
     # final merged line: the driver parses THIS one (last JSON line)
     assert final["metric"] == "fwd_step_time_s"
     assert final["value"] == final["fwd_step_time_s"] > 0
     assert final["vs_baseline"] > 0
     assert final["train_step_time_s"] == insurance["train_step_time_s"]
     assert "device_kind" in final
+    # self-diagnosis fields (round-4 verdict #1a): the artifact records
+    # cache traffic and host load
+    assert final["cache_misses"] >= 2  # train + rollout, both cold
+    assert "loadavg_1m" in final
+
+    # ---- second run, WARM cache: both probes hit, train-first, and the
+    # stderr narration carries jax's persistent-cache hit lines ----
+    lines2, res2 = _run_bench_tiny(tmp_path / "cache")
+    final2 = lines2[-1]
+    assert final2["train_step_time_s"] > 0
+    assert final2["fwd_step_time_s"] > 0
+    assert final2["train_probe"] == "warm"
+    assert final2["cache_hits"] >= 2
+    assert "compilation cache hit" in res2.stderr.lower()
+
+    # ---- third run: train program re-keyed (batch 2) while the rollout
+    # stays warm -> the ADAPTIVE order must flip to fwd-first, flush the
+    # warm forward number as insurance, then cold-compile train with the
+    # remaining budget (fast on CPU) — the round-4 failure mode, fixed ----
+    lines3, res3 = _run_bench_tiny(tmp_path / "cache",
+                                   {"PANGU_BENCH_TRAIN_BATCH": "2"})
+    assert len(lines3) == 3, res3.stdout
+    fwd_ins, train_ins, final3 = lines3
+    assert fwd_ins["metric"] == "fwd_step_time_s"
+    assert fwd_ins["fwd_step_time_s"] > 0  # captured BEFORE the cold train
+    assert train_ins["metric"] == "train_step_time_s"
+    assert final3["phase_order"] == "fwd-first"
+    assert final3["train_probe"] == "cold"
+    assert final3["rollout_probe"] == "warm"
+    assert final3["train_batch"] == 2
+    assert final3["train_step_time_s"] > 0  # the cold attempt completed
+    assert final3["fwd_step_time_s"] == fwd_ins["fwd_step_time_s"]

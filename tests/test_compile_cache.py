@@ -87,6 +87,83 @@ def test_compile_options_assignment_stripped_only_for_single():
     assert base not in (with_assignment, swapped)
 
 
+def test_cold_abort_compile_probe(tmp_path):
+    """cold_abort_compile: a persistent-cache MISS raises ColdCompileAbort
+    (with the missed key) BEFORE XLA compilation starts; a HIT proceeds
+    normally (deserialize + load) and the executable runs. This is the
+    primitive behind bench.py's adaptive phase order (round-4 post-mortem:
+    a >240 s blocked cold compile silently forfeited the whole artifact)."""
+    import jax.numpy as jnp
+
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    from pangu_tpu.utils.compile_cache import (
+        ColdCompileAbort,
+        cold_abort_compile,
+    )
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    cc.set_cache_dir(str(tmp_path / "cc"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        def f(x):
+            return jnp.sin(x) @ x + 1.0
+
+        x = jnp.ones((16, 16), jnp.float32)
+        with pytest.raises(ColdCompileAbort) as ei:
+            with cold_abort_compile():
+                jax.jit(f).lower(x).compile()
+        assert ei.value.cache_key  # the missed key is reported
+
+        jax.jit(f).lower(x).compile()  # real compile populates the cache
+
+        # drop the in-memory executable cache: identical modules otherwise
+        # short-circuit before the persistent cache is consulted (a fresh
+        # bench process starts this way)
+        jax.clear_caches()
+        with cold_abort_compile():  # HIT: must NOT raise
+            compiled = jax.jit(f).lower(x).compile()
+        np.testing.assert_allclose(np.asarray(compiled(x)),
+                                   np.asarray(f(x)), rtol=1e-6)
+    finally:
+        cc.set_cache_dir(old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
+
+
+def test_log_cache_events_forwards_hit_and_miss(tmp_path):
+    """log_cache_events forwards jax's persistent-cache hit/miss lines to
+    the given sink — the self-diagnosis channel BENCH_r05 artifacts carry
+    (round-4 verdict #1a)."""
+    import jax.numpy as jnp
+
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    from pangu_tpu.utils.compile_cache import log_cache_events
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    cc.set_cache_dir(str(tmp_path / "cc"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    seen = []
+    log_cache_events(seen.append)
+    try:
+        def g(x):
+            return jnp.cos(x) @ x - 2.0
+
+        x = jnp.ones((8, 8), jnp.float32)
+        jax.jit(g).lower(x).compile()  # miss + write
+        assert any("cache miss" in m.lower() for m in seen), seen
+        jax.clear_caches()  # else the in-memory executable short-circuits
+        jax.jit(g).lower(x).compile()  # hit
+        assert any("cache hit" in m.lower() for m in seen), seen
+    finally:
+        cc.set_cache_dir(old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
+
+
 def test_enable_compile_cache_sets_directory(tmp_path, monkeypatch):
     target = tmp_path / "cache"
     got = compile_cache.enable_compile_cache(str(target))
