@@ -261,8 +261,20 @@ def _start_watchdog() -> None:
     """Periodic stderr heartbeat. Device initialization through the tunnel
     HANGS (rather than raising) when the tunnel is down; if this process is
     killed by the harness, the heartbeat in the captured tail is the
-    difference between a diagnosable artifact and a silent rc=124."""
+    difference between a diagnosable artifact and a silent rc=124.
+
+    Also registers SIGUSR1 -> all-thread Python tracebacks on stderr
+    (faulthandler), so a blocked run can be diagnosed from outside with
+    ``kill -USR1 <pid>`` instead of killed blind."""
     import threading
+
+    try:
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (ImportError, AttributeError, ValueError):  # pragma: no cover
+        pass
 
     def beat():
         n = 0
@@ -878,9 +890,18 @@ def _make_train_objects(cfg, model, aux, params, upper, surface) -> dict:
         # ceiling; both phases RESOURCE_EXHAUSTED in rehearsal)
         state = init_train_state(model, cfg, aux, optimizer, params=params)
         batch = Batch(upper, surface, upper, surface)
-        # the loop rng is folded per-step in-graph; create the base key here
-        # (a device op, however tiny) to keep the pre-lower thread host-only
-        base_rng = jax.random.PRNGKey(0)
+        # the loop rng is folded per-step in-graph; the base key is pulled
+        # to HOST here (main thread): the run() closure embeds it as an
+        # MLIR constant at lowering time, and embedding a DEVICE array
+        # triggers a device->host read INSIDE the lowering — observed
+        # blocked >10 min through the tunnel on the pre-lower worker
+        # thread (round-5 prime run; faulthandler stack:
+        # _array_mlir_constant_handler -> array._value). A host numpy key
+        # embeds with zero device traffic and produces the IDENTICAL HLO
+        # (same constant bytes), so primed executable caches keep hitting.
+        import numpy as np
+
+        base_rng = np.asarray(jax.random.PRNGKey(0))
         return {"step": step, "state": state, "batch": batch, "aux": aux,
                 "base_rng": base_rng}
     except Exception as e:  # noqa: BLE001 — surfaced by bench_train_step
@@ -959,6 +980,8 @@ def _prelower_train(cfg, objs, train_batch: int = 1) -> dict:
                 lowered = call.lower(state, batch, aux, steps0)
                 return {"state": state, "batch": batch, "lowered": lowered,
                         "via": "export-restore"}
+            _note("tracing + exporting the train program (no blob for "
+                  "these sources — host work, minutes at full geometry)")
             exported = jexport.export(
                 run,
                 disabled_checks=[jexport.DisabledSafetyCheck.custom_call(
