@@ -104,6 +104,18 @@ def test_train_export_roundtrip(tmp_path, monkeypatch):
     assert jnp.isfinite(total2)
 
 
+def test_base_rng_matches_prngkey_zero():
+    """bench builds its loop base key as host zeros (two tunnel D2H hangs
+    forced device-traffic-free construction — see _make_train_objects); it
+    must stay bit-identical to jax.random.PRNGKey(0) so the traced HLO —
+    and every primed executable-cache key — never drifts."""
+    import jax
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(jax.random.PRNGKey(0)),
+                                  np.zeros((2,), np.uint32))
+
+
 def test_budget_early_stop(monkeypatch):
     monkeypatch.setenv("PANGU_BENCH_BUDGET", "0")  # budget already spent
     calls = []
