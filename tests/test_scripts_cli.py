@@ -144,3 +144,49 @@ def test_reproduce_baseline_dry_run(tmp_path):
     )
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
     assert "dry-run OK" in res.stdout
+
+
+def test_launch_cloud_dry_run(capsys):
+    """Cloud orchestration plan (reference sagemaker/{fsx,fastfile}.ipynb +
+    code/start.py roles): `all` must provision, stage code+data, and launch
+    the entry on every worker — verified offline via --dry-run."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "launch_cloud_cli_smoke", os.path.join(root, "scripts", "launch_cloud.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rc = mod.main(["all", "--tpu-name", "pangu-ft", "--zone", "us-central2-b",
+                   "--accelerator-type", "v5litepod-16",
+                   "--data-bucket", "gs://era5/npy", "--entry", "finetune",
+                   "--dry-run", "--", "--set", "train.epochs=2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("+ ")]
+    # provision -> tar -> scp -> unpack -> data rsync -> run = 6 steps
+    assert len(lines) == 6, out
+    assert "tpu-vm create pangu-ft" in lines[0]
+    assert "--accelerator-type=v5litepod-16" in lines[0]
+    assert "tar" in lines[1] and "scp" in lines[2]
+    assert "--worker=all" in lines[2] and "--worker=all" in lines[3]
+    assert "gsutil -m rsync -r gs://era5/npy" in lines[4]
+    assert "launch_pod.sh finetune" in lines[5]
+    # data.root is auto-pointed at the staged copy; user args pass through
+    assert "data.root=" in lines[5] and "train.epochs=2" in lines[5]
+
+    # FastFile analogue: stream mode mounts gcsfuse instead of copying
+    rc = mod.main(["stage", "--tpu-name", "pangu-ft",
+                   "--data-bucket", "gs://era5/npy", "--data-mode", "stream",
+                   "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gcsfuse" in out and "--only-dir npy era5" in out, out
+    assert "rsync" not in out
+
+    # queued-resources path (spot provisioning) + teardown
+    rc = mod.main(["delete", "--tpu-name", "pangu-ft", "--queued", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "queued-resources delete pangu-ft" in out.replace("'", "")
